@@ -1,0 +1,211 @@
+"""Simulation configuration and CLI front end.
+
+Maps 1:1 onto the reference's ``key=value`` command-line surface
+(reference: src/boltzmann_cli.c:93-189) plus the stdin parameter-server
+protocol (src/boltzmann_cli.c:71-91).  TPU-specific extensions (impl,
+dtype, steps-per-chunk, ...) are additive and default to reference
+behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import IO, Optional
+
+VALID_DISPLAYS = (3, 4, 7, 8, 9, 77)
+
+# Parameters the interactive parameter server may mutate, one at a time
+# (reference: src/boltzmann_cli.c:82-87).
+REPL_MUTABLE = ("E_dc", "E_omega", "omega", "mu", "alpha", "B")
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Frozen snapshot of all solver parameters.
+
+    Field-for-field image of the reference globals (src/boltzmann_cli.c:20-68,
+    src/boltzmann_c_solver.c:36-59).
+    """
+
+    display: int
+    E_dc: float
+    E_omega: float
+    omega: float
+    mu: float
+    alpha: float
+    n_harmonics: int          # N; CLI key "n-harmonics"
+    phi_y_min: float          # CLI "PhiYmin"
+    phi_y_max: float          # CLI "PhiYmax"
+    B: float
+    t_start: float            # CLI "t-max"; run extends to t_start + T
+    frame_start: float = 0.0
+    dt: float = 0.001
+    g_grid: int = 3069        # M; CLI "g-grid"
+    quiet: bool = False
+    device: int = 0
+    out_file: str = "-"       # CLI "o"; "-"/"stdout", "stderr", "+file" appends
+    read_from: Optional[str] = None   # only "stdin" supported, like reference
+
+    # ---- TPU-native extensions (not present in the reference CLI) ----
+    impl: str = "auto"        # {"auto", "xla", "pallas"} stepper implementation
+    dtype: str = "f32"        # {"f32", "f64"}; reference is float32 (src/boltzmann.h:15)
+    exact_time: bool = True   # replicate the C solver's float32 `t += dt` accumulation
+    steps_per_chunk: int = 0  # 0 = auto; max scan steps between host syncs
+    checkpoint: Optional[str] = None   # save final state to .npz
+    resume: Optional[str] = None       # load initial state from .npz
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def N(self) -> int:
+        return self.n_harmonics
+
+    @property
+    def M(self) -> int:
+        return self.g_grid
+
+
+# CLI key -> (field name, converter).  Converters mirror the reference:
+# atoi for ints, strtod for floats (src/boltzmann_cli.c:105-122).
+_KEYMAP = {
+    "display": ("display", int),
+    "E_dc": ("E_dc", float),
+    "E_omega": ("E_omega", float),
+    "omega": ("omega", float),
+    "mu": ("mu", float),
+    "alpha": ("alpha", float),
+    "n-harmonics": ("n_harmonics", lambda v: int(float(v))),
+    "PhiYmin": ("phi_y_min", float),
+    "PhiYmax": ("phi_y_max", float),
+    "B": ("B", float),
+    "t-max": ("t_start", float),
+    "frame-start": ("frame_start", float),
+    "dt": ("dt", float),
+    "g-grid": ("g_grid", int),
+    "read-from": ("read_from", str),
+    "quiet": ("quiet", lambda v: True),
+    "device": ("device", int),
+    "o": ("out_file", str),
+    # extensions
+    "impl": ("impl", str),
+    "dtype": ("dtype", str),
+    "exact-time": ("exact_time", lambda v: v not in ("0", "false", "no")),
+    "steps-per-chunk": ("steps_per_chunk", int),
+    "checkpoint": ("checkpoint", str),
+    "resume": ("resume", str),
+    "profile-dir": ("profile_dir", str),
+}
+
+_REQUIRED = (
+    ("display", "display"),
+    ("E_dc", "E_dc"),
+    ("E_omega", "E_omega"),
+    ("omega", "omega"),
+    ("mu", "mu"),
+    ("alpha", "alpha"),
+    ("n_harmonics", "n-harmonics"),
+    ("phi_y_min", "PhiYmin"),
+    ("phi_y_max", "PhiYmax"),
+    ("B", "B"),
+    ("t_start", "t-max"),
+)
+
+
+class ConfigError(SystemExit):
+    pass
+
+
+def _die(msg: str):
+    print(msg, file=sys.stderr)
+    raise ConfigError(1)
+
+
+def parse_cmd(argv: list[str]) -> SimConfig:
+    """Parse ``key=value`` arguments exactly like the reference parser.
+
+    Reference quirks preserved (src/boltzmann_cli.c:98-103): parsing stops
+    at the first token that does not contain ``=``; unknown keys are
+    silently ignored; later keys override earlier ones.
+    """
+    fields: dict = {}
+    for tok in argv:
+        if "=" not in tok:
+            break
+        name, _, value = tok.partition("=")
+        if name == "" or value == "":
+            break
+        if name in _KEYMAP:
+            field, conv = _KEYMAP[name]
+            try:
+                fields[field] = conv(value)
+            except ValueError:
+                _die(f'ERROR: Invalid value "{value}" for parameter "{name}".')
+
+    for field, cli_name in _REQUIRED:
+        if field not in fields:
+            _die(f'ERROR: Parameter "{cli_name}" must be set.')
+
+    cfg = SimConfig(**fields)
+    validate(cfg)
+    return cfg
+
+
+def validate(cfg: SimConfig):
+    if cfg.display not in VALID_DISPLAYS:
+        _die("ERROR: Invalid value of display= parameter. "
+             "Possible values are 3, 4, 8 or 77.")
+    if cfg.t_start <= 0:
+        _die("ERROR: Invalid value of t-max= parameter. "
+             "it must be greater than 0.")
+    if cfg.read_from is not None and cfg.read_from != "stdin":
+        _die("ERROR: Invalid value of read-from=")
+    if cfg.impl not in ("auto", "xla", "pallas"):
+        _die("ERROR: impl= must be one of auto, xla, pallas.")
+    if cfg.dtype not in ("f32", "f64"):
+        _die("ERROR: dtype= must be f32 or f64.")
+    if cfg.g_grid < 3:
+        _die("ERROR: g-grid too small.")
+    if cfg.n_harmonics < 1:
+        _die("ERROR: n-harmonics must be >= 1.")
+
+
+def open_out(cfg: SimConfig) -> IO[str]:
+    """Resolve the output stream (reference: src/boltzmann_cli.c:168-183)."""
+    if cfg.out_file in ("-", "stdout"):
+        return sys.stdout
+    if cfg.out_file == "stderr":
+        return sys.stderr
+    if cfg.out_file.startswith("+"):
+        return open(cfg.out_file[1:], "a")
+    return open(cfg.out_file, "w")
+
+
+def scan_for_new_parameters(stream: IO[str]):
+    """Read one parameter mutation from the interactive parameter server.
+
+    Protocol (reference: src/boltzmann_cli.c:71-91): whitespace-separated
+    tokens ``name value timeout``; the single token ``exit`` terminates.
+    Returns ``None`` on exit/EOF, else ``(name_or_None, value, timeout)``
+    where name is one of REPL_MUTABLE (unknown names are accepted but
+    mutate nothing, as in the reference).
+    """
+    toks: list[str] = []
+    while True:
+        line = stream.readline()
+        if line == "":
+            return None  # EOF behaves like exit
+        toks.extend(line.split())
+        if len(toks) >= 1 and toks[0] == "exit":
+            return None
+        while len(toks) >= 3:
+            name, sval, stime = toks[0], toks[1], toks[2]
+            toks = toks[3:]
+            try:
+                value = float(sval)
+                timeout = float(stime)
+            except ValueError:
+                continue  # reference fscanf would keep scanning
+            return (name if name in REPL_MUTABLE else None, value, timeout)

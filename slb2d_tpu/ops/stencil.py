@@ -1,0 +1,261 @@
+"""The semi-implicit leapfrog stencil, vectorized for the TPU VPU.
+
+Replaces the reference's zoo of CUDA kernel variants (BLTZM_KERNEL
+1/2/310/311/321/341/342/4, reference: src/boltzmann_gpu.cu:84-1167) and the
+OpenMP C loops (src/boltzmann_c_solver.c:355-411) with ONE branch-free
+formulation: the n=0 / n=1 special cases become data (mask and weight
+vectors), shifts (n±1, m±1) become rolls whose wrap-around lands only in
+masked-out ghost rows/columns, and XLA fuses the whole update into a few
+VPU loops.  A fused Pallas megakernel (stepper_pallas.py) shares this math.
+
+Update scheme per grid point and harmonic (src/boltzmann_c_solver.c:363-378):
+
+    mu_t   = n * (E_dc + E_omega*cos(w t)      + B*phi_y) * dt/2
+    mu_t1  = n * (E_dc + E_omega*cos(w (t+dt)) + B*phi_y) * dt/2
+    g = dt*a0 + a*nu_tilde - b*mu_t
+        + bdt*( b~[n+1,m+1] - b~[n+1,m-1] - [n>=2]*(b~[n-1,m+1] - b~[n-1,m-1]) )
+    h = b*nu_tilde + a*mu_t
+        + bdt*( w_n*(a~[n-1,m+1] - a~[n-1,m-1]) - a~[n+1,m+1] + a~[n+1,m-1] )
+    xi = nu2 + mu_t1^2
+    a' = (g*nu - h*mu_t1)/xi ;  b' = (g*mu_t1 + h*nu)/xi   (b' only for n>0)
+
+where ~ marks the time-staggered neighbor arrays and w_n = [0, 2, 1, 1, ...].
+
+Buffer-staleness quirks of the reference's 4-buffer rotation are reproduced
+so float32 runs pin against the C solver:
+  * the half-step writes only m=1..M, so column M+1 of the half-step arrays
+    alternates between its bootstrap value and 0 — carried here as the
+    `hs_edge_*` vectors (see SURVEY.md §0 "Buffering");
+  * main-grid harmonic row N alternates between a0[N] and 0 but is never
+    read by the dynamics; output code reconstructs it from the step parity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class State(NamedTuple):
+    """Scan carry: full solver state at one main-grid time."""
+    a: jax.Array        # (NHP, MP) cosine harmonics, main grid
+    b: jax.Array        # (NHP, MP) sine harmonics, main grid
+    a_hs: jax.Array     # (NHP, MP) half-step grid
+    b_hs: jax.Array
+    hs_edge_a: jax.Array  # (NHP,) stale column M+1 for the next hs write
+    hs_edge_b: jax.Array  # (NHP,)
+    av: jax.Array       # (6,) running observables (av_data, :413-437)
+    t: jax.Array        # scalar, loop time (f32 in reference mode)
+    step: jax.Array     # int32 number of completed steps
+
+
+class StencilConsts(NamedTuple):
+    """Everything the stencil math reads besides the state.
+
+    May hold numpy constants (closed-over, single run) or traced arrays
+    (vmapped parameter sweeps) — the math is written against either.
+    """
+    a0: jax.Array           # (NHP, MP) equilibrium
+    a0_ghost: jax.Array     # (NHP, MP) a0 on the never-rewritten ghost cells
+    phi: jax.Array          # (MP,) phi_y values
+    n_float: jax.Array      # (NHP, 1) float harmonic index
+    row_update: jax.Array   # (NHP, 1) bool: n < N
+    n_ge2: jax.Array        # (NHP, 1) float: 1.0 where n >= 2
+    w_n: jax.Array          # (NHP, 1) float: 0/2/1 weights
+    b_row_mask: jax.Array   # (NHP, 1) bool: n > 0
+    col_main: jax.Array     # (1, MP) bool: 1 <= m <= M+1
+    col_half: jax.Array     # (1, MP) bool: 1 <= m <= M
+    w_av: jax.Array         # (MP,) dPhi over av bounds
+    w_av_phi: jax.Array     # (MP,) dPhi*phi over av bounds
+    # scalars (0-d, possibly traced)
+    E_dc: jax.Array
+    E_omega: jax.Array
+    omega: jax.Array
+    B: jax.Array
+    dt: jax.Array
+    nu: jax.Array
+    nu2: jax.Array
+    nu_tilde: jax.Array
+    bdt: jax.Array
+    t_start: jax.Array
+    edge_col: int           # static: M+1 (python int)
+
+
+def consts_from_model(model, t_start=None) -> StencilConsts:
+    f = model.np_dtype
+    return StencilConsts(
+        a0=model.a0, a0_ghost=model.a0_ghost, phi=model.phi,
+        n_float=model.n_float,
+        row_update=model.row_update, n_ge2=model.n_ge2, w_n=model.w_n,
+        b_row_mask=model.b_row_mask, col_main=model.col_main,
+        col_half=model.col_half, w_av=model.w_av, w_av_phi=model.w_av_phi,
+        E_dc=model.E_dc, E_omega=model.E_omega, omega=model.omega,
+        B=model.B, dt=model.dt, nu=model.nu, nu2=model.nu2,
+        nu_tilde=model.nu_tilde, bdt=model.bdt,
+        t_start=f(model.cfg.t_start if t_start is None else t_start),
+        edge_col=model.M + 1,
+    )
+
+
+def _shift(arr, dn: int, dm: int):
+    """Value at (n+dn, m+dm); wrap-around lands only in masked positions."""
+    return jnp.roll(arr, shift=(-dn, -dm), axis=(0, 1))
+
+
+def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
+                    cos_t, cos_t_dt, *, main: bool):
+    """One stencil application.
+
+    a_src/b_src are read pointwise at (n, m) (the arrays being advanced);
+    a_nb/b_nb are the time-staggered arrays read at (n±1, m±1).
+    `main=True` uses the main-grid write bounds m=1..M+1
+    (src/boltzmann_c_solver.c:361), else the half-grid bounds m=1..M (:391).
+    """
+    # operand order mirrors the C expressions so float32 rounding matches
+    mu_t_part = (c.E_dc + c.E_omega * cos_t + c.B * c.phi) * c.dt / 2
+    mu_t1_part = (c.E_dc + c.E_omega * cos_t_dt + c.B * c.phi) * c.dt / 2
+    mu_t = c.n_float * mu_t_part          # (NHP, MP)
+    mu_t1 = c.n_float * mu_t1_part
+
+    g = (c.dt * c.a0 + a_src * c.nu_tilde - b_src * mu_t
+         + c.bdt * (_shift(b_nb, 1, 1) - _shift(b_nb, 1, -1)
+                    - c.n_ge2 * (_shift(b_nb, -1, 1) - _shift(b_nb, -1, -1))))
+    h = (b_src * c.nu_tilde + a_src * mu_t
+         + c.bdt * (c.w_n * (_shift(a_nb, -1, 1) - _shift(a_nb, -1, -1))
+                    - _shift(a_nb, 1, 1) + _shift(a_nb, 1, -1)))
+
+    xi = c.nu2 + mu_t1 * mu_t1
+    a_new = (g * c.nu - h * mu_t1) / xi
+    b_new = (g * mu_t1 + h * c.nu) / xi
+
+    cols = c.col_main if main else c.col_half
+    mask = jnp.logical_and(c.row_update, cols)
+    zero = jnp.zeros((), dtype=a_new.dtype)
+    a_new = jnp.where(mask, a_new, zero)
+    b_new = jnp.where(jnp.logical_and(mask, c.b_row_mask), b_new, zero)
+    return a_new, b_new
+
+
+def bootstrap_state(c: StencilConsts, model) -> State:
+    """Initial state: a = a0, b = 0, plus the tiptoe first half-step
+    (reference: src/boltzmann_c_solver.c:136-145)."""
+    dtype = model.np_dtype
+    a = jnp.asarray(model.initial_a())
+    b = jnp.zeros_like(a)
+    f = dtype
+    # cos(omega*(dt)) with the reference's float->double->float rounding
+    cos1 = f(1.0)
+    cos_wdt = f(np.cos(np.float64(f(model.omega) * f(model.dt))))
+    a_hs, b_hs = apply_half_step(c, a, b, a, b, cos1, cos_wdt, main=True)
+    return State(
+        a=a, b=b, a_hs=a_hs, b_hs=b_hs,
+        hs_edge_a=jnp.zeros((a.shape[0],), dtype),
+        hs_edge_b=jnp.zeros((a.shape[0],), dtype),
+        av=jnp.zeros((6,), dtype),
+        t=jnp.asarray(dtype(0)),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av):
+    """Running observable averages (reference: src/boltzmann_c_solver.c:413-437).
+
+    av[0]: sample count; av[1..3]: incremental means of v_dr, v_y, m/m_x;
+    av[4], av[5]: absorption quadratures Sum cos/sin(w t) * v_dr * dt.
+    The reference computes the quadrature products in double (C promotes
+    through cos()) and stores into float32 — reproduced via f64 here.
+    """
+    dtype = av.dtype
+    count = av[0] + 1
+    v_dr = jnp.dot(b_new[1], c.w_av)
+    v_y = jnp.dot(a_new[0], c.w_av_phi)
+    m_x = jnp.dot(a_new[1], c.w_av)
+    av1 = av[1] + (v_dr - av[1]) / count
+    av2 = av[2] + (v_y - av[2]) / count
+    av3 = av[3] + (m_x - av[3]) / count
+    if dtype == jnp.float32 and jax.config.jax_enable_x64:
+        vd64 = v_dr.astype(jnp.float64)
+        av4 = (av[4].astype(jnp.float64)
+               + cos_av.astype(jnp.float64) * vd64 * c.dt.astype(jnp.float64)
+               ).astype(dtype)
+        av5 = (av[5].astype(jnp.float64)
+               + sin_av.astype(jnp.float64) * vd64 * c.dt.astype(jnp.float64)
+               ).astype(dtype)
+    else:
+        av4 = av[4] + cos_av * v_dr * c.dt
+        av5 = av[5] + sin_av * v_dr * c.dt
+    return jnp.stack([av[0] + 1, av1, av2, av3, av4, av5])
+
+
+def full_step(c: StencilConsts, state: State, trig, do_av) -> State:
+    """One full time step = main-grid + half-grid stencil application plus
+    optional observable accumulation (reference loop body,
+    src/boltzmann_c_solver.c:164-194)."""
+    cos_t, cos_t_dt, cos_hs, cos_hs_dt, cos_av, sin_av = trig
+    a_new, b_new = apply_half_step(
+        c, state.a, state.b, state.a_hs, state.b_hs, cos_t, cos_t_dt,
+        main=True)
+    # Parity ghost fill: this step writes main buffer (step+1) % 2; buffer 0
+    # keeps a0's ghost cells from the initial copy, buffer 1 keeps zeros.
+    # a_new is zero outside the write region, so the add is exact.
+    ghost_on = (state.step + 1) % 2 == 0
+    a_new = a_new + jnp.where(ghost_on, c.a0_ghost,
+                              jnp.zeros((), a_new.dtype))
+    ahs_new, bhs_new = apply_half_step(
+        c, state.a_hs, state.b_hs, a_new, b_new, cos_hs, cos_hs_dt,
+        main=False)
+    # stale column M+1 of the retired half-step buffer (4-buffer rotation)
+    e = c.edge_col
+    ahs_new = ahs_new.at[:, e].set(state.hs_edge_a)
+    bhs_new = bhs_new.at[:, e].set(state.hs_edge_b)
+    av_new = jax.lax.cond(
+        do_av,
+        lambda: av_update(c, state.av, a_new, b_new, cos_av, sin_av),
+        lambda: state.av)
+    return State(
+        a=a_new, b=b_new, a_hs=ahs_new, b_hs=bhs_new,
+        hs_edge_a=state.a_hs[:, e], hs_edge_b=state.b_hs[:, e],
+        av=av_new, t=state.t + c.dt, step=state.step + 1)
+
+
+def device_trig(c: StencilConsts, t):
+    """In-kernel trig for the fast path (no host schedule).
+
+    Matches the C argument computation (float products) but evaluates
+    cos/sin at array precision rather than double.
+    """
+    dt = c.dt
+    t_hs = t + dt / 2
+    return (
+        jnp.cos(c.omega * t),
+        jnp.cos(c.omega * (t + dt)),
+        jnp.cos(c.omega * t_hs),
+        jnp.cos(c.omega * (t_hs + dt)),
+        jnp.cos(c.omega * t),
+        jnp.sin(c.omega * t),
+    )
+
+
+def make_step_fn(c: StencilConsts, *, av_enabled: bool, exact_trig: bool):
+    """Build the lax.scan body.
+
+    exact_trig=True: xs supplies host-precomputed (trig..., do_av) per step
+    (bit-replicating the C solver's double-evaluated cos of float args).
+    exact_trig=False: trig is evaluated on device from the carried t and
+    do_av becomes the traced condition t >= t_start.
+    """
+    if exact_trig:
+        def step(state: State, xs):
+            trig = (xs["cos_t"], xs["cos_t_dt"], xs["cos_hs"],
+                    xs["cos_hs_dt"], xs["cos_av"], xs["sin_av"])
+            return full_step(c, state, trig, xs["do_av"]), None
+    else:
+        def step(state: State, xs):
+            trig = device_trig(c, state.t)
+            do_av = (jnp.asarray(av_enabled)
+                     & (state.t >= c.t_start)) if av_enabled else jnp.asarray(False)
+            return full_step(c, state, trig, do_av), None
+    return step
