@@ -1,0 +1,42 @@
+"""Command-line entry point: `slb2d key=value ...` or
+`python -m slb2d_tpu.cli key=value ...` — the exact reference CLI surface
+(reference: src/boltzmann_cli.c, README.md:30-66) plus TPU extensions
+(impl=, dtype=, steps-per-chunk=, checkpoint=, resume=, profile-dir=).
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    from . import config as cfgmod
+    try:
+        cfg = cfgmod.parse_cmd(argv)
+    except cfgmod.ConfigError:
+        return 1
+
+    import jax
+    # float64 mode needs x64; the exact-f32 quadrature path also uses a few
+    # f64 scalar ops per step (see ops/stencil.av_update)
+    jax.config.update("jax_enable_x64", True)
+
+    if cfg.device:
+        devs = jax.devices()
+        if cfg.device < len(devs):
+            jax.config.update("jax_default_device", devs[cfg.device])
+
+    from .runtime.loop import Simulation
+
+    sim = Simulation(cfg)
+    if cfg.profile_dir:
+        with jax.profiler.trace(cfg.profile_dir):
+            sim.run()
+    else:
+        sim.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,35 @@
+"""State checkpoint/resume — a capability the reference lacks (SURVEY.md §5:
+"no file checkpointing"; its only resume is in-memory via the parameter
+server).  Full solver state (a, b, a_hs, b_hs, staleness carries, av_data,
+t, step) round-trips through one .npz file.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.stencil import State
+
+
+def save_state(path: str, state: State, **extra):
+    arrays = {f"state_{k}": np.asarray(v) for k, v in state._asdict().items()}
+    arrays.update({f"extra_{k}": np.asarray(v) for k, v in extra.items()})
+    np.savez_compressed(path, **arrays)
+
+
+def load_state(path: str, model):
+    data = np.load(path)
+    kw = {}
+    for field in State._fields:
+        arr = data[f"state_{field}"]
+        kw[field] = arr
+    st = State(**kw)
+    if st.a.shape != (model.NHP, model.MP):
+        raise ValueError(
+            f"checkpoint shape {st.a.shape} does not match configured grid "
+            f"({model.NHP}, {model.MP}) — n-harmonics/g-grid must match")
+    if st.a.dtype != model.np_dtype:
+        raise ValueError(
+            f"checkpoint dtype {st.a.dtype} does not match dtype= setting")
+    extra = {k[6:]: data[k] for k in data.files if k.startswith("extra_")}
+    return st, extra

@@ -1,0 +1,257 @@
+"""The simulation driver: chunked lax.scan time loop + emissions + REPL.
+
+Replaces the reference drivers (src/boltzmann_c_solver.c:83-287 and
+src/boltzmann_solver.c:74-401).  The hot loop is a donated-carry
+`jax.lax.scan` over host-precomputed step schedules (runtime/schedule.py);
+the device is synchronized only at emission boundaries, never per step.
+The interactive parameter server (read-from=stdin) continues from the live
+device state exactly like the reference (:270-281) — the distribution is
+never reset, only the scalar drive parameters and averaging window change.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from .. import config as cfgmod
+from ..config import SimConfig
+from ..models.superlattice import SuperlatticeModel
+from ..ops import frames, stencil
+from ..io import writers
+from . import schedule
+from .checkpoint import load_state, save_state
+
+
+class NumericalInstability(RuntimeError):
+    pass
+
+
+class Simulation:
+    def __init__(self, cfg: SimConfig, out=None):
+        self.cfg = cfg
+        self.out = out if out is not None else cfgmod.open_out(cfg)
+        self.quiet = cfg.quiet
+        self._build_model()
+        self.recon = None
+        self.frame_number = 1
+        self.strobe_values = None
+        # cross-round float carries (reference keeps these across the
+        # parameter-server loop)
+        self.frame_time = 0.0
+        self.last_rem = 0.0
+        self.t_exit = 0.0
+        self._steps_since_progress = 0
+
+        if cfg.resume:
+            self.state, extra = load_state(cfg.resume, self.model)
+            self.t0 = float(extra.get("t0", float(self.state.t)))
+            self.frame_time = float(extra.get("frame_time", 0.0))
+            self.frame_number = int(extra.get("frame_number", 1))
+        else:
+            self.state = stencil.bootstrap_state(self.c, self.model)
+            self.t0 = 0.0
+        self.t_start = float(cfg.t_start)
+        self.t_max = self._compute_t_max()
+
+    # -- setup ---------------------------------------------------------------
+
+    def _build_model(self):
+        self.model = SuperlatticeModel(self.cfg)
+        self.c = stencil.consts_from_model(self.model)
+        self._runners = {}
+
+    def _compute_t_max(self):
+        D = self.model.np_dtype
+        T = self.model.T
+        if self.cfg.display == 9:
+            # src/boltzmann_solver.c:80-82
+            return float(D(D(self.t_start) + D(101 * T)))
+        return float(D(D(self.t_start) + T))
+
+    def _runner(self, n_steps: int):
+        if n_steps not in self._runners:
+            step = stencil.make_step_fn(self.c, av_enabled=True,
+                                        exact_trig=True)
+
+            def run(state, xs):
+                return jax.lax.scan(step, state, xs)[0]
+
+            self._runners[n_steps] = jax.jit(run, donate_argnums=0)
+        return self._runners[n_steps]
+
+    def _get_recon(self):
+        if self.recon is None or self.recon.model is not self.model:
+            self.recon = frames.FrameReconstructor(self.model)
+        return self.recon
+
+    # -- main ----------------------------------------------------------------
+
+    def run(self, repl_stream=None):
+        """Full run incl. the parameter-server outer loop; returns final
+        State."""
+        cfg = self.cfg
+        if cfg.read_from == "stdin" and repl_stream is None:
+            repl_stream = sys.stdin
+        if not self.quiet:
+            print(f"# t_max = {writers.f20(self.model.np_dtype(self.t_max))}")
+
+        while True:
+            self._run_round()
+
+            if cfg.display == 3:
+                a, b = self._host_ab()
+                writers.write_display3(self.out, self.model,
+                                       self._get_recon(), a, b)
+                break
+            if cfg.display == 8:
+                # single-shot frame.data (GPU driver semantics,
+                # src/boltzmann_solver.c:334-346)
+                a, b = self._host_ab()
+                if not self.quiet:
+                    print("\nWriting frame frame.data")
+                with open("frame.data", "w") as fh:
+                    writers.write_frame(fh, self.model, self._get_recon(),
+                                        a, b, self._loop_t())
+                break
+            if cfg.display == 4:
+                a, b = self._host_ab()
+                writers.write_display4(self.out, self.model, cfg, a, b,
+                                       np.asarray(self.state.av),
+                                       quiet=self.quiet)
+
+            if repl_stream is None:
+                break
+            mut = cfgmod.scan_for_new_parameters(repl_stream)
+            if mut is None:
+                break
+            self._apply_mutation(*mut)
+
+        if cfg.checkpoint:
+            save_state(cfg.checkpoint, self.state, t0=self.t_exit,
+                       frame_time=self.frame_time,
+                       frame_number=self.frame_number)
+        if self.out not in (sys.stdout, sys.stderr):
+            self.out.close()
+        return self.state
+
+    def _loop_t(self):
+        """The C driver's post-loop `t` (first value failing t < t_max)."""
+        return self.t_exit
+
+    def _run_round(self):
+        cfg = self.cfg
+        model = self.model
+        carry: dict = {}
+        for chunk in schedule.iter_chunks(
+                omega=model.omega, dt=model.dt, t0=self.t0,
+                t_max=self.t_max, t_start=self.t_start,
+                E_omega=model.E_omega, display=cfg.display,
+                frame_start=cfg.frame_start, T=model.T,
+                dtype=model.np_dtype,
+                chunk_max=cfg.steps_per_chunk or 4096,
+                frame_time0=self.frame_time,
+                last_tT_reminder0=self.last_rem,
+                carry_out=carry):
+            prev_rows = None
+            if chunk.event == "e77":
+                prev_rows = (np.asarray(self.state.a[:2]),
+                             np.asarray(self.state.b[:2]))
+            self.state = self._runner(chunk.n_steps)(self.state, chunk.xs)
+            self._handle_event(chunk, prev_rows)
+            self._progress(chunk)
+        self.frame_time = carry.get("frame_time", self.frame_time)
+        self.last_rem = carry.get("last_rem", self.last_rem)
+        self.t_exit = carry.get("t_exit", self.t0)
+        self._check_finite()
+
+    def _handle_event(self, chunk, prev_rows):
+        cfg = self.cfg
+        model = self.model
+        if chunk.event == "e77":
+            a_prev, b_prev = prev_rows
+            writers.write_display77_line(
+                self.out, model, a_prev, b_prev,
+                np.asarray(self.state.av), chunk.t_last, quiet=self.quiet)
+        elif chunk.event == "e7":
+            a, b = self._host_ab()
+            fname = f"frame{self.frame_number:08d}.data"
+            self.frame_number += 1
+            if not self.quiet:
+                print(f"\nWriting frame {fname}")
+            with open(fname, "w") as fh:
+                writers.write_frame(fh, model, self._get_recon(), a, b,
+                                    chunk.t_last)
+        elif chunk.event == "e9":
+            a, b = self._host_ab()
+            recon = self._get_recon()
+            F = recon.reconstruct(a, b, 1, model.M + 2)
+            if self.strobe_values is None:
+                self.strobe_values = np.zeros_like(F)
+            self.strobe_values = (self.strobe_values + F).astype(
+                model.np_dtype)
+            fname = f"strobe{self.frame_number:08d}.data"
+            self.frame_number += 1
+            if not self.quiet:
+                print(f"\nWriting strobe {fname}")
+            with open(fname, "w") as fh:
+                writers.write_strobe(fh, model, recon, self.strobe_values,
+                                     a, chunk.t_last)
+
+    def _progress(self, chunk):
+        # reference: `\rt=... %` every 300 steps (:206-213)
+        if self.quiet or self.out is sys.stdout or self.cfg.display == 7:
+            return
+        self._steps_since_progress += chunk.n_steps
+        if self._steps_since_progress >= 300:
+            t = chunk.t_last
+            pct = t / self.t_max * 100 if self.t_max else 0.0
+            sys.stdout.write(f"\rt={t:0.9f} {pct:0.2f}%")
+            sys.stdout.flush()
+            self._steps_since_progress = 0
+
+    def _host_ab(self):
+        return np.asarray(self.state.a), np.asarray(self.state.b)
+
+    def _check_finite(self):
+        av = np.asarray(self.state.av)
+        a0row = np.asarray(self.state.a[0, :8])
+        if not (np.all(np.isfinite(av)) and np.all(np.isfinite(a0row))):
+            raise NumericalInstability(
+                "non-finite values in solver state — decrease dt "
+                "(reference guidance, src/boltzmann_c_solver.c:56-57)")
+
+    # -- parameter server ------------------------------------------------------
+
+    def _apply_mutation(self, name, value, timeout):
+        """One live parameter change: t_start moves to t+timeout, t_max =
+        t_start + OLD T, then T re-derives; averaging restarts; the
+        distribution state is preserved (reference :270-281).
+
+        Mutation semantics follow the GPU driver exactly (docs/DEVIATIONS.md
+        D11): drive scalars (E_dc, E_omega, omega, B) and the output
+        multipliers go live, but the equilibrium a0 and the magnetic
+        stencil constant bdt stay frozen at their startup values
+        (src/boltzmann_solver.c never recomputes them, :112-126)."""
+        model = self.model
+        D = model.np_dtype
+        t = D(self.t_exit)             # C's loop-exit t
+        old_T = model.T
+        if name is not None:
+            frozen = (self.model.a0, self.model.a0_ghost, self.model.bdt)
+            self.cfg = self.cfg.replace(**{name: value})
+            self._build_model()
+            self.model.a0, self.model.a0_ghost, self.model.bdt = frozen
+            self.c = stencil.consts_from_model(self.model)
+            self._runners = {}
+            model = self.model
+        self.t_start = float(D(t + D(timeout)))
+        self.t_max = float(D(D(self.t_start) + old_T))
+        self.t0 = float(D(t + model.dt))
+        self.state = self.state._replace(
+            av=np.zeros(6, model.np_dtype),
+            t=model.np_dtype(self.t0))
+        if not self.quiet:
+            print(f"# t_max = {writers.f20(D(self.t_max))}")

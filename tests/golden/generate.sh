@@ -1,0 +1,51 @@
+#!/bin/bash
+# Record golden fixtures from the reference C solver builds.
+# Run from anywhere; writes into tests/golden/.  Fixtures are committed so
+# CI never needs the reference tree; this script documents their provenance.
+set -e
+HERE=$(cd "$(dirname "$0")" && pwd)
+BIN="$HERE/../oracle/bin"
+[ -x "$BIN/boltzmann_c_solver" ] || "$HERE/../oracle/build_reference.sh"
+
+COMMON="E_dc=1.0 E_omega=2.0 omega=1.0 mu=1.0 alpha=0.9495 PhiYmin=-10 PhiYmax=10 B=0.1 dt=0.001 quiet=1"
+WORK=$(mktemp -d)
+cd "$WORK"
+
+run() { # binary outfile args...
+  local bin=$1 out=$2; shift 2
+  "$BIN/$bin" "$@" o="$out" >/dev/null 2>&1 || true
+}
+
+# 1. display=4 small (t-max=1): f32 and f64
+run boltzmann_c_solver     d4_small_f32.txt display=4 $COMMON n-harmonics=20 g-grid=200 t-max=1
+run boltzmann_c_solver_f64 d4_small_f64.txt display=4 $COMMON n-harmonics=20 g-grid=200 t-max=1
+
+# 2. display=4 BASELINE config #1 horizon (t-max=10): f32 and f64
+run boltzmann_c_solver     d4_base1_f32.txt display=4 $COMMON n-harmonics=20 g-grid=200 t-max=10
+run boltzmann_c_solver_f64 d4_base1_f64.txt display=4 $COMMON n-harmonics=20 g-grid=200 t-max=10
+
+# 3. display=4 BASELINE config #2 shape (N=40, M=500), shorter horizon
+run boltzmann_c_solver_f64 d4_n40_f64.txt display=4 $COMMON n-harmonics=40 g-grid=500 t-max=2
+
+OMEGA10=${COMMON/omega=1.0/omega=10.0}
+# 4. display=3 tiny distribution dump (f64; in-bounds loops)
+run boltzmann_c_solver_f64 d3_tiny_f64.txt display=3 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.5
+
+# 5. display=77 time series (f64) — only norm/t columns are pinnable
+#    (reference OOB sums + in-place normalization, docs/DEVIATIONS.md D1/D2)
+run boltzmann_c_solver_f64 d77_tiny_f64.txt display=77 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.2
+
+# 6. display=7 movie frames (f64): frames land in cwd as frame%08d.data
+"$BIN/boltzmann_c_solver_f64" display=7 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.2 o=d7_out.txt >/dev/null 2>&1 || true
+cp frame00000001.data d7_frame1_f64.txt
+cp frame00000002.data d7_frame2_f64.txt
+
+# 7. parameter-server session (f64): display=4, two mutations then exit
+printf 'E_dc 1.5 0.5\nB 0.2 0.5\nexit\n' | \
+  "$BIN/boltzmann_c_solver_f64" display=4 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.5 read-from=stdin o=repl_f64.txt >/dev/null 2>&1 || true
+
+gzip -nf d3_tiny_f64.txt d7_frame1_f64.txt d7_frame2_f64.txt
+gzip -nf d77_tiny_f64.txt
+cp d4_*.txt repl_f64.txt *.gz "$HERE/"
+cd /; rm -rf "$WORK"
+echo "golden fixtures written to $HERE"

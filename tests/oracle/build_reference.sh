@@ -1,0 +1,49 @@
+#!/bin/sh
+# Build the reference C solver (the numerics oracle, SURVEY.md §4) against
+# the local GSL shim.  Binaries land in tests/oracle/bin/ (gitignored).
+# Golden outputs recorded from them are committed under tests/golden/.
+#
+# Two builds:
+#   boltzmann_c_solver      — pristine reference (ffloat = float)
+#   boltzmann_c_solver_f64  — same sources with ffloat = double (staged into
+#                             a temp dir; quoted includes resolve to the
+#                             source dir, so the typedef is flipped there)
+set -e
+HERE=$(cd "$(dirname "$0")" && pwd)
+REF=${REF:-/root/reference}
+mkdir -p "$HERE/bin"
+
+gcc -std=gnu99 -O3 -m64 \
+  -I"$HERE/gsl_shim" \
+  "$REF/src/boltzmann_c_solver.c" "$REF/src/boltzmann_cli.c" \
+  -o "$HERE/bin/boltzmann_c_solver" -lm 2>/dev/null
+echo "built $HERE/bin/boltzmann_c_solver"
+
+STAGE=$(mktemp -d)
+cp "$REF"/src/boltzmann_c_solver.c "$REF"/src/boltzmann_cli.c \
+   "$REF"/src/boltzmann_cli.h "$REF"/src/boltzmann.h \
+   "$REF"/src/constants.h "$STAGE/"
+# scan_for_new_parameters fscanf's %f into ffloat variables
+# (src/boltzmann_cli.c:75) — wrong width once ffloat=double
+sed -i 's/"%s %f %f"/"%s %lf %lf"/' "$STAGE/boltzmann_cli.c"
+sed -i 's/#define ffloat float/#define ffloat double/' "$STAGE/boltzmann.h"
+# The reference under-allocates av_data (calloc(5) but indices 0..5 used,
+# src/boltzmann_c_solver.c:155 — SURVEY.md §2.1).  Harmless at 4-byte
+# floats (glibc chunk rounding absorbs it) but heap-corrupting at 8-byte
+# doubles, aborting before output flushes.  The f64 oracle build gets the
+# one-word fix; the pristine f32 build stays byte-for-byte reference.
+sed -i 's/calloc(5, sizeof(ffloat))/calloc(6, sizeof(ffloat))/' \
+  "$STAGE/boltzmann_c_solver.c"
+# The C driver's parameter server never applies mutations (missing
+# load_data(), unlike the GPU driver at src/boltzmann_solver.c:391, so the
+# stale locals keep driving the dynamics — SURVEY-class defect, documented
+# as docs/DEVIATIONS.md D11).  The staged oracle gets the GPU behavior so
+# REPL sessions are pinnable.
+sed -i 's|memset(av_data, 0, 6\*sizeof(ffloat)); // clear averaging data|load_data(); memset(av_data, 0, 6*sizeof(ffloat)); // clear averaging data|' \
+  "$STAGE/boltzmann_c_solver.c"
+gcc -std=gnu99 -O3 -m64 \
+  -I"$HERE/gsl_shim" \
+  "$STAGE/boltzmann_c_solver.c" "$STAGE/boltzmann_cli.c" \
+  -o "$HERE/bin/boltzmann_c_solver_f64" -lm 2>/dev/null
+rm -rf "$STAGE"
+echo "built $HERE/bin/boltzmann_c_solver_f64"
