@@ -1,0 +1,90 @@
+"""Benchmark: lattice-site updates/sec on the flagship single-chip config.
+
+Metric (BASELINE.md): site-updates/sec = 2*(N+1)*(M+1)*steps / wall, on
+BASELINE config #4 (n-harmonics=100, g-grid=4000, float32, fast device-side
+trig, no host syncs inside the timed region).  Baseline to beat: 1e9
+updates/sec (the reference publishes no numbers; this is the driver-set
+north star for 1x TPU v5e).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from slb2d_tpu.config import SimConfig
+from slb2d_tpu.models.superlattice import SuperlatticeModel
+from slb2d_tpu.ops import stencil
+
+BASELINE = 1e9  # updates/sec north star (BASELINE.json)
+
+
+def build(impl: str, N=100, M=4000):
+    cfg = SimConfig(display=8, E_dc=1.0, E_omega=2.0, omega=1.0, mu=1.0,
+                    alpha=0.9495, n_harmonics=N, phi_y_min=-10.0,
+                    phi_y_max=10.0, B=0.1, t_start=10.0, g_grid=M, dt=1e-3,
+                    impl=impl)
+    model = SuperlatticeModel(cfg)
+    c = stencil.consts_from_model(model)
+    state = stencil.bootstrap_state(c, model)
+    if impl == "pallas":
+        from slb2d_tpu.ops.stepper_pallas import make_pallas_runner
+        run = make_pallas_runner(c, model)
+    else:
+        step = stencil.make_step_fn(c, av_enabled=False, exact_trig=False)
+
+        def body(s, n_steps):
+            return jax.lax.scan(step, s, None, length=n_steps)[0]
+
+        run = jax.jit(body, static_argnums=1, donate_argnums=0)
+    return model, state, run
+
+
+def bench(impl: str, chunk=1000, reps=20, N=100, M=4000):
+    model, state, run = build(impl, N, M)
+    # warmup / compile; a full host fetch is the only reliable barrier on
+    # the axon tunnel platform (block_until_ready returns early there)
+    state = run(state, chunk)
+    np.asarray(state.a)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = run(state, chunk)
+    a_host = np.asarray(state.a)   # true barrier: materialize the result
+    wall = time.perf_counter() - t0
+    assert np.all(np.isfinite(a_host)), "state went non-finite"
+    steps = chunk * reps
+    updates = 2 * (model.N + 1) * (model.M + 1) * steps
+    return updates / wall, wall, steps
+
+
+def main():
+    impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    if impl == "auto":
+        candidates = []
+        for name in ("pallas", "xla"):
+            try:
+                ups, wall, steps = bench(name)
+                candidates.append((ups, name, wall, steps))
+                print(f"# {name}: {ups:.3e} updates/s "
+                      f"({steps} steps in {wall:.3f}s)", file=sys.stderr)
+            except Exception as e:  # pallas may be unavailable on CPU
+                print(f"# {name} failed: {e}", file=sys.stderr)
+        ups, name, wall, steps = max(candidates)
+    else:
+        ups, wall, steps = bench(impl)
+        name = impl
+    print(json.dumps({
+        "metric": f"lattice-site updates/sec (N=100 M=4000, {name})",
+        "value": round(ups),
+        "unit": "updates/sec",
+        "vs_baseline": round(ups / BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,8 @@ class StencilConsts(NamedTuple):
     nu_tilde: jax.Array
     bdt: jax.Array
     t_start: jax.Array
-    edge_col: int           # static: M+1 (python int)
+    t_end: jax.Array        # averaging window end (t_max); +inf normally
+    col_edge: jax.Array     # (1, MP) bool one-hot at column M+1
 
 
 def consts_from_model(model, t_start=None) -> StencilConsts:
@@ -96,7 +97,8 @@ def consts_from_model(model, t_start=None) -> StencilConsts:
         B=model.B, dt=model.dt, nu=model.nu, nu2=model.nu2,
         nu_tilde=model.nu_tilde, bdt=model.bdt,
         t_start=f(model.cfg.t_start if t_start is None else t_start),
-        edge_col=model.M + 1,
+        t_end=f(np.inf),
+        col_edge=np.arange(model.MP)[None, :] == model.M + 1,
     )
 
 
@@ -106,7 +108,7 @@ def _shift(arr, dn: int, dm: int):
 
 
 def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
-                    cos_t, cos_t_dt, *, main: bool):
+                    cos_t, cos_t_dt, *, main: bool, shift=_shift):
     """One stencil application.
 
     a_src/b_src are read pointwise at (n, m) (the arrays being advanced);
@@ -121,11 +123,11 @@ def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
     mu_t1 = c.n_float * mu_t1_part
 
     g = (c.dt * c.a0 + a_src * c.nu_tilde - b_src * mu_t
-         + c.bdt * (_shift(b_nb, 1, 1) - _shift(b_nb, 1, -1)
-                    - c.n_ge2 * (_shift(b_nb, -1, 1) - _shift(b_nb, -1, -1))))
+         + c.bdt * (shift(b_nb, 1, 1) - shift(b_nb, 1, -1)
+                    - c.n_ge2 * (shift(b_nb, -1, 1) - shift(b_nb, -1, -1))))
     h = (b_src * c.nu_tilde + a_src * mu_t
-         + c.bdt * (c.w_n * (_shift(a_nb, -1, 1) - _shift(a_nb, -1, -1))
-                    - _shift(a_nb, 1, 1) + _shift(a_nb, 1, -1)))
+         + c.bdt * (c.w_n * (shift(a_nb, -1, 1) - shift(a_nb, -1, -1))
+                    - shift(a_nb, 1, 1) + shift(a_nb, 1, -1)))
 
     xi = c.nu2 + mu_t1 * mu_t1
     a_new = (g * c.nu - h * mu_t1) / xi
@@ -160,7 +162,8 @@ def bootstrap_state(c: StencilConsts, model) -> State:
     )
 
 
-def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av):
+def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av,
+              sum_m=None):
     """Running observable averages (reference: src/boltzmann_c_solver.c:413-437).
 
     av[0]: sample count; av[1..3]: incremental means of v_dr, v_y, m/m_x;
@@ -168,11 +171,13 @@ def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av):
     The reference computes the quadrature products in double (C promotes
     through cos()) and stores into float32 — reproduced via f64 here.
     """
+    if sum_m is None:
+        sum_m = lambda v: jnp.sum(v, axis=-1)
     dtype = av.dtype
     count = av[0] + 1
-    v_dr = jnp.dot(b_new[1], c.w_av)
-    v_y = jnp.dot(a_new[0], c.w_av_phi)
-    m_x = jnp.dot(a_new[1], c.w_av)
+    v_dr = sum_m(b_new[1] * c.w_av)
+    v_y = sum_m(a_new[0] * c.w_av_phi)
+    m_x = sum_m(a_new[1] * c.w_av)
     av1 = av[1] + (v_dr - av[1]) / count
     av2 = av[2] + (v_y - av[2]) / count
     av3 = av[3] + (m_x - av[3]) / count
@@ -190,14 +195,15 @@ def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av):
     return jnp.stack([av[0] + 1, av1, av2, av3, av4, av5])
 
 
-def full_step(c: StencilConsts, state: State, trig, do_av) -> State:
+def full_step(c: StencilConsts, state: State, trig, do_av, *,
+              shift=_shift, sum_m=None) -> State:
     """One full time step = main-grid + half-grid stencil application plus
     optional observable accumulation (reference loop body,
     src/boltzmann_c_solver.c:164-194)."""
     cos_t, cos_t_dt, cos_hs, cos_hs_dt, cos_av, sin_av = trig
     a_new, b_new = apply_half_step(
         c, state.a, state.b, state.a_hs, state.b_hs, cos_t, cos_t_dt,
-        main=True)
+        main=True, shift=shift)
     # Parity ghost fill: this step writes main buffer (step+1) % 2; buffer 0
     # keeps a0's ghost cells from the initial copy, buffer 1 keeps zeros.
     # a_new is zero outside the write region, so the add is exact.
@@ -206,18 +212,25 @@ def full_step(c: StencilConsts, state: State, trig, do_av) -> State:
                               jnp.zeros((), a_new.dtype))
     ahs_new, bhs_new = apply_half_step(
         c, state.a_hs, state.b_hs, a_new, b_new, cos_hs, cos_hs_dt,
-        main=False)
-    # stale column M+1 of the retired half-step buffer (4-buffer rotation)
-    e = c.edge_col
-    ahs_new = ahs_new.at[:, e].set(state.hs_edge_a)
-    bhs_new = bhs_new.at[:, e].set(state.hs_edge_b)
+        main=False, shift=shift)
+    # stale column M+1 of the retired half-step buffer (4-buffer rotation).
+    # Mask-based (not indexed) so the same code runs shard-local under
+    # shard_map: only the shard owning column M+1 touches anything.
+    if sum_m is None:
+        sum_m = lambda v: jnp.sum(v, axis=-1)
+    emask = c.col_edge.astype(a_new.dtype)
+    ahs_new = jnp.where(c.col_edge, state.hs_edge_a[:, None], ahs_new)
+    bhs_new = jnp.where(c.col_edge, state.hs_edge_b[:, None], bhs_new)
+    # exact: a row dot with a one-hot mask picks the single column value
+    new_edge_a = sum_m(state.a_hs * emask)
+    new_edge_b = sum_m(state.b_hs * emask)
     av_new = jax.lax.cond(
         do_av,
-        lambda: av_update(c, state.av, a_new, b_new, cos_av, sin_av),
+        lambda: av_update(c, state.av, a_new, b_new, cos_av, sin_av, sum_m),
         lambda: state.av)
     return State(
         a=a_new, b=b_new, a_hs=ahs_new, b_hs=bhs_new,
-        hs_edge_a=state.a_hs[:, e], hs_edge_b=state.b_hs[:, e],
+        hs_edge_a=new_edge_a, hs_edge_b=new_edge_b,
         av=av_new, t=state.t + c.dt, step=state.step + 1)
 
 
@@ -255,7 +268,7 @@ def make_step_fn(c: StencilConsts, *, av_enabled: bool, exact_trig: bool):
     else:
         def step(state: State, xs):
             trig = device_trig(c, state.t)
-            do_av = (jnp.asarray(av_enabled)
-                     & (state.t >= c.t_start)) if av_enabled else jnp.asarray(False)
+            do_av = ((state.t >= c.t_start) & (state.t < c.t_end)
+                     ) if av_enabled else jnp.asarray(False)
             return full_step(c, state, trig, do_av), None
     return step

@@ -1,0 +1,117 @@
+"""Spatial sharding of the phi_y axis with halo exchange (shard_map).
+
+For grids beyond single-chip comfort, state arrays (NHP, MP) are sharded
+along m over the "space" mesh axis.  The stencil's m±1 reads become local
+rolls whose one wrapped edge column is patched with the neighbor's boundary
+column via `jax.lax.ppermute` — a 1-column (NHP,) message per direction per
+half-step, riding ICI.  Observable reductions become shard-local partial
+sums + `jax.lax.psum`.  The math itself is ops/stencil.full_step unchanged
+(shift and sum_m are injected), so spatial runs are numerically identical
+to single-device runs up to reduction ordering.
+
+The reference has no multi-device analogue (SURVEY.md §2.3: its only
+"transport" is cudaMemcpy); this is new TPU capability.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops import stencil
+
+
+def _halo_shift_factory(axis: str, n_shards: int):
+    """Build a shift(arr, dn, dm) for shard-local (NHP, L) blocks.
+
+    dn rolls are harmonic-axis local (not sharded).  dm rolls wrap one
+    column which is replaced by the neighbor shard's edge column.  The
+    outermost shards receive the wrap-around of the global padded array,
+    which lands only in masked ghost columns — same invariant as the
+    single-device roll formulation.
+    """
+    def m_shifted(arr, dm: int):
+        # duplicate (arr, dm) calls across the four (dn, dm) shift
+        # combinations are deduplicated by XLA CSE — no manual caching
+        rolled = jnp.roll(arr, -dm, axis=-1)
+        if n_shards > 1:
+            if dm > 0:
+                # need right neighbor's first column in our last slot
+                perm = [((i + 1) % n_shards, i) for i in range(n_shards)]
+                recv = jax.lax.ppermute(arr[..., 0], axis, perm)
+                rolled = rolled.at[..., -1].set(recv)
+            else:
+                perm = [((i - 1) % n_shards, i) for i in range(n_shards)]
+                recv = jax.lax.ppermute(arr[..., -1], axis, perm)
+                rolled = rolled.at[..., 0].set(recv)
+        return rolled
+
+    def shift(arr, dn: int, dm: int):
+        return jnp.roll(m_shifted(arr, dm), -dn, axis=-2)
+
+    return shift
+
+
+def _sum_m_factory(axis: str):
+    def sum_m(arr):
+        return jax.lax.psum(jnp.sum(arr, axis=-1), axis)
+    return sum_m
+
+
+def spatial_specs(mesh, axis: str = "space"):
+    """(consts_spec, state_spec) PartitionSpecs for shard_map."""
+    ca = stencil.StencilConsts(
+        a0=P(None, axis), a0_ghost=P(None, axis), phi=P(axis),
+        n_float=P(), row_update=P(), n_ge2=P(), w_n=P(), b_row_mask=P(),
+        col_main=P(None, axis), col_half=P(None, axis),
+        w_av=P(axis), w_av_phi=P(axis),
+        E_dc=P(), E_omega=P(), omega=P(), B=P(), dt=P(), nu=P(), nu2=P(),
+        nu_tilde=P(), bdt=P(), t_start=P(), t_end=P(),
+        col_edge=P(None, axis))
+    st = stencil.State(
+        a=P(None, axis), b=P(None, axis), a_hs=P(None, axis),
+        b_hs=P(None, axis), hs_edge_a=P(), hs_edge_b=P(), av=P(),
+        t=P(), step=P())
+    return ca, st
+
+
+def make_spatial_runner(c: stencil.StencilConsts, model, mesh,
+                        axis: str = "space", av_enabled: bool = True):
+    """jitted (state, n_steps) -> state advancing a space-sharded run.
+
+    MP must be divisible by the shard count (SuperlatticeModel pads M+3 to
+    a lane multiple of 128; choose g-grid so MP % (128*n_shards) == 0 for
+    even tiles, or pass arrays pre-padded).
+    """
+    n_shards = mesh.shape[axis]
+    if model.MP % n_shards:
+        raise ValueError(f"MP={model.MP} not divisible by {n_shards} shards")
+    consts_spec, state_spec = spatial_specs(mesh, axis)
+    shift = _halo_shift_factory(axis, n_shards)
+    sum_m = _sum_m_factory(axis)
+
+    def one_step(cl, st):
+        trig = stencil.device_trig(cl, st.t)
+        do_av = ((st.t >= cl.t_start) & (st.t < cl.t_end)
+                 ) if av_enabled else jnp.asarray(False)
+        return stencil.full_step(cl, st, trig, do_av,
+                                 shift=shift, sum_m=sum_m)
+
+    def run(consts, state, n_steps):
+        body = jax.shard_map(
+            lambda cl, st: jax.lax.scan(
+                lambda s, _: (one_step(cl, s), None), st, None,
+                length=n_steps)[0],
+            mesh=mesh, in_specs=(consts_spec, state_spec),
+            out_specs=state_spec, check_vma=False)
+        return body(consts, state)
+
+    jitted = jax.jit(run, static_argnums=2, donate_argnums=1)
+
+    def runner(state, n_steps):
+        return jitted(c, state, n_steps)
+
+    return runner

@@ -1,0 +1,187 @@
+"""Vmapped + mesh-sharded parameter sweeps (BASELINE config #5).
+
+The reference explores parameter space serially through its stdin parameter
+server (src/boltzmann_cli.c:71-91), one point at a time, with relaxation
+between points.  TPU-native: a whole (E_dc, E_omega, omega, B, mu, alpha)
+grid becomes a batch axis — `jax.vmap` over the stencil, sharded across the
+"sweep" mesh axis with jax.sharding so XLA parallelizes points across chips
+with zero communication (absorption maps are embarrassingly parallel).
+
+Each sweep point reproduces a standalone display-4 run: its own float32
+time accumulation, averaging window [t_start, t_start + T(omega_b)), and
+loop-exit instantaneous observables — captured per point at its own t_max
+crossing even though all points share one scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..constants import PI
+from ..models.bessel import bessel_In
+from ..models.superlattice import SuperlatticeModel
+from ..ops import stencil
+from ..runtime.schedule import count_steps
+
+SWEEPABLE = ("E_dc", "E_omega", "omega", "mu", "alpha", "B")
+
+
+class ParameterSweep:
+    def __init__(self, cfg: SimConfig, params: dict, mesh=None,
+                 axis: str = "sweep"):
+        """params: {name: 1-D array}; all arrays broadcast together into a
+        flat batch (use numpy meshgrid + ravel upstream for grids)."""
+        for k in params:
+            if k not in SWEEPABLE:
+                raise ValueError(f"cannot sweep over {k!r}")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        arrs = jnp.broadcast_arrays(*[np.asarray(v, np.float64)
+                                      for v in params.values()])
+        flat = [np.ravel(np.asarray(a)) for a in arrs]
+        self.B = len(flat[0]) if flat else 1
+        self.params = dict(zip(params.keys(), flat))
+
+        # Per-point models: scalar derivations are cheap; a0 differs only
+        # when mu/alpha vary.
+        self.models = []
+        for i in range(self.B):
+            kw = {k: float(v[i]) for k, v in self.params.items()}
+            self.models.append(SuperlatticeModel(cfg.replace(**kw)))
+        m0 = self.models[0]
+        self.base = m0
+        D = m0.np_dtype
+
+        def stack(field):
+            return np.stack([getattr(m, field) for m in self.models])
+
+        varies_a0 = any(k in self.params for k in ("mu", "alpha"))
+        c0 = stencil.consts_from_model(m0)
+        # batched consts: leading axis only on fields that vary per point
+        batched = dict(c0._asdict())
+        axes = {k: None for k in batched}
+        for f in ("E_dc", "E_omega", "omega", "B", "bdt"):
+            batched[f] = stack(f)
+            axes[f] = 0
+        if varies_a0:
+            batched["a0"] = stack("a0")
+            batched["a0_ghost"] = stack("a0_ghost")
+            axes["a0"] = axes["a0_ghost"] = 0
+        # per-point averaging window end: t_max = f32(t_start + T_b)
+        t_end = np.asarray([D(D(cfg.t_start) + m.T) for m in self.models])
+        batched["t_end"] = t_end
+        axes["t_end"] = 0
+        self.consts = stencil.StencilConsts(**batched)
+        self.in_axes = stencil.StencilConsts(**axes)
+
+        # shared step count: the longest point's loop trip count
+        self.n_steps = max(
+            count_steps(0.0, float(t_end[i]), float(m0.dt), D)
+            for i in range(self.B))
+
+    # -- device program -------------------------------------------------------
+
+    def _initial_states(self):
+        axes = self.in_axes._asdict()
+        states = []
+        for i, m in enumerate(self.models):
+            fields = {k: (v[i] if axes[k] == 0 else v)
+                      for k, v in self.consts._asdict().items()}
+            ci = stencil.StencilConsts(**fields)
+            states.append(stencil.bootstrap_state(ci, m))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    def run(self):
+        """Run all points to their t_max; returns per-point display-4
+        observables as a dict of (B,) arrays."""
+        D = self.base.np_dtype
+        consts = self.consts
+        in_axes = self.in_axes
+
+        def point_step(c, carry):
+            st, cap = carry
+            trig = stencil.device_trig(c, st.t)
+            do_av = (st.t >= c.t_start) & (st.t < c.t_end)
+            new = stencil.full_step(c, st, trig, do_av)
+            # capture loop-exit instantaneous observables: the last step
+            # whose loop t is still < t_max overwrites the capture
+            live = st.t < c.t_end
+            cap = jax.tree.map(
+                lambda old, cur: jnp.where(live, cur, old), cap,
+                self._instantaneous(c, new))
+            return new, cap
+
+        def run_all(consts, states):
+            def body(carry, _):
+                st, cap = carry
+                st, cap = jax.vmap(point_step, in_axes=(in_axes, 0))(
+                    consts, (st, cap))
+                return (st, cap), None
+            return jax.lax.scan(body, states, None, length=self.n_steps)[0]
+
+        cap0 = {k: jnp.zeros((self.B,), D)
+                for k in ("v_dr", "v_y", "m_x", "norm")}
+        states = self._initial_states()
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(self.mesh, P(self.axis))
+            repl = NamedSharding(self.mesh, P())
+            states = jax.tree.map(
+                lambda x: jax.device_put(x, shard), states)
+            axes = in_axes._asdict()
+            consts = stencil.StencilConsts(**{
+                k: jax.device_put(jnp.asarray(v),
+                                  shard if axes[k] == 0 else repl)
+                for k, v in consts._asdict().items()})
+            cap0 = jax.tree.map(lambda x: jax.device_put(x, shard), cap0)
+
+        (final, cap) = jax.jit(run_all)(consts, (states, cap0))
+        return self._finalize(final, cap)
+
+    def _instantaneous(self, c, st):
+        """Display-4 loop-exit values (src/boltzmann_c_solver.c:236-244):
+        inline sums over m=1..M-1 plus eval_norm over m=1..M."""
+        w_d4 = jnp.asarray(self.base.w_d4)
+        w_d4_phi = jnp.asarray(self.base.w_d4_phi)
+        w_norm = jnp.asarray(self.base.w_norm)
+        return dict(
+            v_dr=jnp.sum(st.b[1] * w_d4),
+            v_y=jnp.sum(st.a[0] * w_d4_phi),
+            m_x=jnp.sum(st.a[1] * w_d4),
+            norm=jnp.sum(st.a[0] * w_norm),
+        )
+
+    def _finalize(self, final: stencil.State, cap):
+        D = self.base.np_dtype
+        av = np.asarray(final.av)          # (B, 6)
+        out = {k: np.asarray(v) for k, v in cap.items()}
+        res = dict(av_count=av[:, 0])
+        v_dr_m = np.empty(self.B, D)
+        v_y_m = np.empty(self.B, D)
+        m_x_m = np.empty(self.B, D)
+        T = np.empty(self.B, D)
+        for i, m in enumerate(self.models):
+            v_dr_m[i] = m.v_dr_multiplier
+            v_y_m[i] = m.v_y_multiplier
+            m_x_m[i] = m.m_over_multiplier
+            T[i] = m.T
+        norm_mult = np.asarray(
+            [D(2 * PI * np.sqrt(np.float64(m.alpha))) for m in self.models])
+        res["v_dr_inst"] = (out["v_dr"] * v_dr_m).astype(D)
+        res["v_y_inst"] = (out["v_y"] * v_y_m).astype(D)
+        res["m_over_m_x_inst"] = (out["m_x"] * m_x_m).astype(D)
+        res["norm"] = (np.float64(out["norm"]) * np.float64(norm_mult)
+                       ).astype(D)
+        res["v_dr_av"] = (av[:, 1] * v_dr_m).astype(D)
+        res["v_y_av"] = (av[:, 2] * v_y_m).astype(D)
+        res["m_over_m_x_av"] = (av[:, 3] * m_x_m).astype(D)
+        res["A"] = ((av[:, 4] * v_dr_m).astype(D) / T).astype(D)
+        res["Asin"] = ((av[:, 5] * v_dr_m).astype(D) / T).astype(D)
+        return res

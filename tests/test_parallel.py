@@ -1,0 +1,113 @@
+"""Parallel layer: vmapped/sharded sweeps and halo-sharded spatial runs on
+the 8-virtual-device CPU mesh (SURVEY.md §4: sweep of size k must equal k
+independent runs; sharded-M runs must equal single-device runs)."""
+
+import io
+
+import jax
+import numpy as np
+import pytest
+
+from slb2d_tpu.config import SimConfig
+from slb2d_tpu.models.superlattice import SuperlatticeModel
+from slb2d_tpu.ops import stencil
+from slb2d_tpu.parallel import ParameterSweep, make_mesh, make_spatial_runner
+from slb2d_tpu.runtime.loop import Simulation
+from slb2d_tpu.runtime.schedule import count_steps
+
+BASE = dict(display=4, E_dc=1.0, E_omega=2.0, omega=10.0, mu=1.0,
+            alpha=0.9495, n_harmonics=8, phi_y_min=-10.0, phi_y_max=10.0,
+            B=0.1, t_start=0.3, g_grid=24, dt=1e-3, quiet=True)
+
+
+def single_run_display4(tmp_path, monkeypatch, **over):
+    cfg = SimConfig(**{**BASE, **over, "out_file": "single.txt"})
+    monkeypatch.chdir(tmp_path)
+    sim = Simulation(cfg)
+    sim.run()
+    with open(tmp_path / "single.txt") as fh:
+        line = [l for l in fh if not l.startswith("#")][0]
+    v = np.array(line.split(), float)
+    # columns: E_dc E_om om mu v_dr A norm v_y m_x <v_dr> <v_y> <m_x> Asin
+    return dict(v_dr_inst=v[4], A=v[5], norm=v[6], v_y_inst=v[7],
+                m_over_m_x_inst=v[8], v_dr_av=v[9], v_y_av=v[10],
+                m_over_m_x_av=v[11], Asin=v[12])
+
+
+def test_sweep_equals_independent_runs(tmp_path, monkeypatch):
+    e_dcs = [0.5, 1.0, 2.0]
+    cfg = SimConfig(**BASE)
+    sweep = ParameterSweep(cfg, {"E_dc": np.array(e_dcs)})
+    res = sweep.run()
+    for i, e in enumerate(e_dcs):
+        ref = single_run_display4(tmp_path, monkeypatch, E_dc=e)
+        for key in ("v_dr_inst", "v_y_inst", "m_over_m_x_inst", "norm",
+                    "v_dr_av", "v_y_av", "m_over_m_x_av", "A", "Asin"):
+            np.testing.assert_allclose(
+                res[key][i], ref[key], rtol=5e-5, atol=1e-7,
+                err_msg=f"{key} at E_dc={e}")
+
+
+def test_sweep_mixed_params_with_omega(tmp_path, monkeypatch):
+    """omega varies -> per-point averaging windows and step counts."""
+    cfg = SimConfig(**BASE)
+    sweep = ParameterSweep(cfg, {"omega": np.array([8.0, 10.0, 12.0]),
+                                 "B": np.array([0.1, 0.2, 0.0])})
+    res = sweep.run()
+    for i, (om, b) in enumerate([(8.0, 0.1), (10.0, 0.2), (12.0, 0.0)]):
+        ref = single_run_display4(tmp_path, monkeypatch, omega=om, B=b)
+        for key in ("v_dr_inst", "norm", "v_dr_av", "A"):
+            np.testing.assert_allclose(
+                res[key][i], ref[key], rtol=5e-5, atol=1e-7,
+                err_msg=f"{key} at omega={om} B={b}")
+
+
+def test_sweep_mu_alpha_rebuilds_a0(tmp_path, monkeypatch):
+    cfg = SimConfig(**BASE)
+    sweep = ParameterSweep(cfg, {"mu": np.array([0.8, 1.2])})
+    res = sweep.run()
+    for i, mu in enumerate([0.8, 1.2]):
+        ref = single_run_display4(tmp_path, monkeypatch, mu=mu)
+        np.testing.assert_allclose(res["norm"][i], ref["norm"],
+                                   rtol=5e-5, atol=1e-7)
+        np.testing.assert_allclose(res["v_dr_av"][i], ref["v_dr_av"],
+                                   rtol=5e-5, atol=1e-7)
+
+
+def test_sweep_sharded_over_mesh_matches_unsharded():
+    cfg = SimConfig(**BASE)
+    mesh = make_mesh((8,), ("sweep",))
+    e_dcs = np.linspace(0.25, 2.0, 8)
+    plain = ParameterSweep(cfg, {"E_dc": e_dcs}).run()
+    sharded = ParameterSweep(cfg, {"E_dc": e_dcs}, mesh=mesh).run()
+    for key in plain:
+        np.testing.assert_allclose(sharded[key], plain[key], rtol=1e-6,
+                                   atol=1e-9, err_msg=key)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_spatial_sharding_matches_single_device(n_shards):
+    # g_grid=253 -> MS=256 -> MP=256, divisible by 2 and 4
+    cfg = SimConfig(**{**BASE, "g_grid": 253})
+    model = SuperlatticeModel(cfg)
+    assert model.MP % n_shards == 0
+    c = stencil.consts_from_model(model)
+    state0 = stencil.bootstrap_state(c, model)
+
+    n_steps = 50
+    step = stencil.make_step_fn(c, av_enabled=True, exact_trig=False)
+    ref = jax.jit(lambda s: jax.lax.scan(step, s, None, length=n_steps)[0])(
+        state0)
+
+    mesh = make_mesh((n_shards,), ("space",))
+    runner = make_spatial_runner(c, model, mesh, axis="space")
+    sh = runner(stencil.bootstrap_state(c, model), n_steps)
+
+    for field in ("a", "b", "a_hs", "b_hs"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sh, field)), np.asarray(getattr(ref, field)),
+            rtol=1e-6, atol=1e-10, err_msg=field)
+    np.testing.assert_allclose(np.asarray(sh.av), np.asarray(ref.av),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(sh.hs_edge_a),
+                                  np.asarray(ref.hs_edge_a))
