@@ -122,12 +122,17 @@ def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
     mu_t = c.n_float * mu_t_part          # (NHP, MP)
     mu_t1 = c.n_float * mu_t1_part
 
+    # shared m-difference: X[n, m] = nb[n, m+1] - nb[n, m-1]; the n±1 reads
+    # are then single-axis shifts of it.  Halves the shift count and the
+    # live temporaries; g is bitwise-identical to the C expression, h
+    # differs by one association (w*d - (a1 - a2) vs (w*d - a1) + a2) —
+    # sub-ulp, covered by the golden tolerances.
+    dm_b = shift(b_nb, 0, 1) - shift(b_nb, 0, -1)
+    dm_a = shift(a_nb, 0, 1) - shift(a_nb, 0, -1)
     g = (c.dt * c.a0 + a_src * c.nu_tilde - b_src * mu_t
-         + c.bdt * (shift(b_nb, 1, 1) - shift(b_nb, 1, -1)
-                    - c.n_ge2 * (shift(b_nb, -1, 1) - shift(b_nb, -1, -1))))
+         + c.bdt * (shift(dm_b, 1, 0) - c.n_ge2 * shift(dm_b, -1, 0)))
     h = (b_src * c.nu_tilde + a_src * mu_t
-         + c.bdt * (c.w_n * (shift(a_nb, -1, 1) - shift(a_nb, -1, -1))
-                    - shift(a_nb, 1, 1) + shift(a_nb, 1, -1)))
+         + c.bdt * (c.w_n * shift(dm_a, -1, 0) - shift(dm_a, 1, 0)))
 
     xi = c.nu2 + mu_t1 * mu_t1
     a_new = (g * c.nu - h * mu_t1) / xi

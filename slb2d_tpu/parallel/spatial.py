@@ -36,6 +36,8 @@ def _halo_shift_factory(axis: str, n_shards: int):
     def m_shifted(arr, dm: int):
         # duplicate (arr, dm) calls across the four (dn, dm) shift
         # combinations are deduplicated by XLA CSE — no manual caching
+        if dm == 0:
+            return arr
         rolled = jnp.roll(arr, -dm, axis=-1)
         if n_shards > 1:
             if dm > 0:

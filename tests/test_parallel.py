@@ -85,10 +85,13 @@ def test_sweep_sharded_over_mesh_matches_unsharded():
                                    atol=1e-9, err_msg=key)
 
 
-@pytest.mark.parametrize("n_shards", [2, 4])
-def test_spatial_sharding_matches_single_device(n_shards):
-    # g_grid=253 -> MS=256 -> MP=256, divisible by 2 and 4
-    cfg = SimConfig(**{**BASE, "g_grid": 253})
+@pytest.mark.parametrize("n_shards,dtype", [(2, "f32"), (4, "f32"),
+                                            (2, "f64"), (4, "f64")])
+def test_spatial_sharding_matches_single_device(n_shards, dtype):
+    # g_grid=253 -> MS=256 -> MP=256, divisible by 2 and 4.
+    # f32: sharded vs unsharded HLO fuse differently -> ~1 ulp/step noise.
+    # f64: 1e-12 tolerance — a halo/mask bug would be O(1e-2).
+    cfg = SimConfig(**{**BASE, "g_grid": 253, "dtype": dtype})
     model = SuperlatticeModel(cfg)
     assert model.MP % n_shards == 0
     c = stencil.consts_from_model(model)
@@ -103,11 +106,12 @@ def test_spatial_sharding_matches_single_device(n_shards):
     runner = make_spatial_runner(c, model, mesh, axis="space")
     sh = runner(stencil.bootstrap_state(c, model), n_steps)
 
+    tol = dict(rtol=1e-3, atol=1e-5) if dtype == "f32" else \
+        dict(rtol=1e-12, atol=1e-14)
     for field in ("a", "b", "a_hs", "b_hs"):
         np.testing.assert_allclose(
             np.asarray(getattr(sh, field)), np.asarray(getattr(ref, field)),
-            rtol=1e-6, atol=1e-10, err_msg=field)
-    np.testing.assert_allclose(np.asarray(sh.av), np.asarray(ref.av),
-                               rtol=1e-5, atol=1e-9)
+            err_msg=field, **tol)
+    np.testing.assert_allclose(np.asarray(sh.av), np.asarray(ref.av), **tol)
     np.testing.assert_array_equal(np.asarray(sh.hs_edge_a),
                                   np.asarray(ref.hs_edge_a))
