@@ -168,7 +168,7 @@ def bootstrap_state(c: StencilConsts, model) -> State:
 
 
 def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av,
-              sum_m=None):
+              sum_m=None, f64_quadrature=None):
     """Running observable averages (reference: src/boltzmann_c_solver.c:413-437).
 
     av[0]: sample count; av[1..3]: incremental means of v_dr, v_y, m/m_x;
@@ -186,7 +186,10 @@ def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av,
     av1 = av[1] + (v_dr - av[1]) / count
     av2 = av[2] + (v_y - av[2]) / count
     av3 = av[3] + (m_x - av[3]) / count
-    if dtype == jnp.float32 and jax.config.jax_enable_x64:
+    if f64_quadrature is None:
+        f64_quadrature = (dtype == jnp.float32
+                          and jax.config.jax_enable_x64)
+    if f64_quadrature:
         vd64 = v_dr.astype(jnp.float64)
         av4 = (av[4].astype(jnp.float64)
                + cos_av.astype(jnp.float64) * vd64 * c.dt.astype(jnp.float64)
@@ -201,7 +204,7 @@ def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av,
 
 
 def full_step(c: StencilConsts, state: State, trig, do_av, *,
-              shift=_shift, sum_m=None) -> State:
+              shift=_shift, sum_m=None, f64_quadrature=None) -> State:
     """One full time step = main-grid + half-grid stencil application plus
     optional observable accumulation (reference loop body,
     src/boltzmann_c_solver.c:164-194)."""
@@ -231,7 +234,8 @@ def full_step(c: StencilConsts, state: State, trig, do_av, *,
     new_edge_b = sum_m(state.b_hs * emask)
     av_new = jax.lax.cond(
         do_av,
-        lambda: av_update(c, state.av, a_new, b_new, cos_av, sin_av, sum_m),
+        lambda: av_update(c, state.av, a_new, b_new, cos_av, sin_av, sum_m,
+                          f64_quadrature),
         lambda: state.av)
     return State(
         a=a_new, b=b_new, a_hs=ahs_new, b_hs=bhs_new,

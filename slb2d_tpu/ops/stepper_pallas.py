@@ -1,0 +1,284 @@
+"""Fused Pallas TPU megakernel: many solver steps per launch, VMEM-resident.
+
+The XLA scan path reads and writes the four state arrays from HBM every
+step (~20 MB/step at the flagship N=100, M=4000 config — HBM-bandwidth
+bound).  The whole state is only ~7 MB, so this kernel keeps it in VMEM
+across a chunk of K steps: state moves HBM->VMEM once per launch, K
+double-half-step updates run at VPU speed, then VMEM->HBM once.  This is
+the TPU answer to the reference's CUDA kernel zoo — the "KNOWN GOLDEN
+CODE" K4 variant (reference: src/boltzmann_gpu.cu:84-249) carried neighbor
+values in registers between n-iterations for the same reason: feed the
+ALUs, not the memory bus.
+
+The math is ops/stencil.apply_half_step / full_step verbatim (imported,
+not re-derived) with pltpu.roll as the shift primitive; per-step trig and
+averaging gates come from a host-precomputed xs table in SMEM, so the
+kernel serves both the exact float32-replay mode and the fast mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import stencil
+
+# xs table lanes (per step): cos_t, cos_t_dt, cos_hs, cos_hs_dt,
+# cos_av, sin_av, do_av, t
+XS_LANES = 8
+
+
+def _pl_shift(arr, dn: int, dm: int):
+    """pltpu.roll-based (n+dn, m+dm) reader for VMEM-resident arrays.
+    pltpu.roll only accepts non-negative shifts; use the modular twin."""
+    out = arr
+    if dm:
+        out = pltpu.roll(out, (-dm) % out.shape[1], 1)
+    if dn:
+        out = pltpu.roll(out, (-dn) % out.shape[0], 0)
+    return out
+
+
+def _kernel(xs_ref,                     # SMEM (K, 8)
+            av_ref,                     # SMEM (8,)
+            a_ref, b_ref, ahs_ref, bhs_ref,       # VMEM states (aliased out)
+            a0_ref, phi_ref, nf_ref, nge2_ref, wn_ref,
+            wav_ref, wavphi_ref, rowup_ref, colmain_ref, colhalf_ref,
+            coledge_ref, aghost_ref, edges_ref,
+            a_out, b_out, ahs_out, bhs_out, edges_out, av_out,
+            *, c_scalars, n_steps: int, parity0: int):
+    """Run n_steps full solver steps in VMEM.
+
+    Mosaic wants >=2-D vector layouts, so the vector/scalar bookkeeping of
+    stencil.full_step is restated here in 2-D/SMEM form; the stencil math
+    itself is stencil.apply_half_step, shared verbatim.
+    """
+    # move state into the aliased output refs once; av into SMEM out
+    a_out[:] = a_ref[:]
+    b_out[:] = b_ref[:]
+    ahs_out[:] = ahs_ref[:]
+    bhs_out[:] = bhs_ref[:]
+    edges_out[:] = edges_ref[:]
+    for j in range(8):
+        av_out[j] = av_ref[j]
+
+    consts = stencil.StencilConsts(
+        a0=a0_ref[:], a0_ghost=aghost_ref[:], phi=phi_ref[:],
+        n_float=nf_ref[:], row_update=rowup_ref[:] > 0,
+        n_ge2=nge2_ref[:], w_n=wn_ref[:], b_row_mask=nf_ref[:] > 0,
+        col_main=colmain_ref[:] > 0, col_half=colhalf_ref[:] > 0,
+        w_av=wav_ref[:], w_av_phi=wavphi_ref[:],
+        col_edge=coledge_ref[:] > 0,
+        **c_scalars)
+    emask = consts.col_edge                    # (1, MP) bool
+    dtype = a_out.dtype
+    zero = jnp.zeros((), dtype)
+
+    def body(i, _):
+        cos_t = xs_ref[i, 0]
+        cos_t_dt = xs_ref[i, 1]
+        cos_hs = xs_ref[i, 2]
+        cos_hs_dt = xs_ref[i, 3]
+        cos_av = xs_ref[i, 4]
+        sin_av = xs_ref[i, 5]
+        do_av = xs_ref[i, 6] > 0
+
+        a = a_out[:]
+        b = b_out[:]
+        ahs = ahs_out[:]
+        bhs = bhs_out[:]
+
+        a_new, b_new = stencil.apply_half_step(
+            consts, a, b, ahs, bhs, cos_t, cos_t_dt, main=True,
+            shift=_pl_shift)
+        # parity ghost fill (main buffer 0 keeps a0 ghost cells)
+        ghost_on = (i + parity0 + 1) % 2 == 0
+        a_new = a_new + jnp.where(ghost_on, consts.a0_ghost, zero)
+
+        ahs_new, bhs_new = stencil.apply_half_step(
+            consts, ahs, bhs, a_new, b_new, cos_hs, cos_hs_dt, main=False,
+            shift=_pl_shift)
+        # stale column M+1 of the retired half-step buffer
+        ahs_new = jnp.where(emask, edges_out[:, 0:1], ahs_new)
+        bhs_new = jnp.where(emask, edges_out[:, 1:2], bhs_new)
+        emaskf = emask.astype(dtype)
+        new_edge_a = jnp.sum(ahs * emaskf, axis=1, keepdims=True)
+        new_edge_b = jnp.sum(bhs * emaskf, axis=1, keepdims=True)
+
+        # running averages (reference av(), src/boltzmann_c_solver.c:413-437)
+        @pl.when(do_av)
+        def _():
+            count = av_out[0] + 1.0
+            v_dr = jnp.sum(b_new[1:2, :] * consts.w_av)
+            v_y = jnp.sum(a_new[0:1, :] * consts.w_av_phi)
+            m_x = jnp.sum(a_new[1:2, :] * consts.w_av)
+            av_out[1] = av_out[1] + (v_dr - av_out[1]) / count
+            av_out[2] = av_out[2] + (v_y - av_out[2]) / count
+            av_out[3] = av_out[3] + (m_x - av_out[3]) / count
+            av_out[4] = av_out[4] + cos_av * v_dr * consts.dt
+            av_out[5] = av_out[5] + sin_av * v_dr * consts.dt
+            av_out[0] = av_out[0] + 1.0
+
+        a_out[:] = a_new
+        b_out[:] = b_new
+        ahs_out[:] = ahs_new
+        bhs_out[:] = bhs_new
+        edges_out[:, 0:1] = new_edge_a
+        edges_out[:, 1:2] = new_edge_b
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, body, 0)
+
+
+def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
+                       exact_trig=False, interpret=None):
+    """(state, n_steps) -> state, running n_steps inside one Pallas kernel
+    per call.  n_steps is static per compilation (cached per length).
+    interpret=None auto-selects interpreter mode on non-TPU backends."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    D = model.np_dtype
+    if D != np.float32:
+        raise ValueError("pallas stepper is float32-only (TPU native)")
+    NHP, MP = model.NHP, model.MP
+
+    scalars = dict(
+        E_dc=D(c.E_dc), E_omega=D(c.E_omega), omega=D(c.omega), B=D(c.B),
+        dt=D(c.dt), nu=D(c.nu), nu2=D(c.nu2), nu_tilde=D(c.nu_tilde),
+        bdt=D(c.bdt), t_start=D(c.t_start), t_end=D(c.t_end))
+
+    # float (rather than bool) masks: i1 arrays are awkward in VMEM
+    f_masks = dict(
+        rowup=np.asarray(c.row_update, D),
+        colmain=np.asarray(c.col_main, D),
+        colhalf=np.asarray(c.col_half, D),
+        coledge=np.asarray(c.col_edge, D),
+    )
+
+    phi2 = np.asarray(c.phi, D).reshape(1, MP)
+    wav2 = np.asarray(c.w_av, D).reshape(1, MP)
+    wavphi2 = np.asarray(c.w_av_phi, D).reshape(1, MP)
+
+    @functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=0)
+    def run(state: stencil.State, xs_table, n_steps: int, parity0: int):
+        edges = jnp.zeros((NHP, 128), D)
+        edges = edges.at[:, 0].set(state.hs_edge_a)
+        edges = edges.at[:, 1].set(state.hs_edge_b)
+        av = jnp.zeros((8,), D).at[:6].set(state.av)
+
+        kernel = functools.partial(
+            _kernel, c_scalars=scalars, n_steps=n_steps,
+            parity0=parity0)
+        outs = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 +
+                      [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((NHP, MP), D),   # a
+                jax.ShapeDtypeStruct((NHP, MP), D),   # b
+                jax.ShapeDtypeStruct((NHP, MP), D),   # a_hs
+                jax.ShapeDtypeStruct((NHP, MP), D),   # b_hs
+                jax.ShapeDtypeStruct((NHP, 128), D),  # edges
+                jax.ShapeDtypeStruct((8,), D),        # av (SMEM)
+            ],
+            input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 18: 4},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(xs_table, av,
+          state.a, state.b, state.a_hs, state.b_hs,
+          jnp.asarray(c.a0), phi2, jnp.asarray(c.n_float),
+          jnp.asarray(c.n_ge2), jnp.asarray(c.w_n), wav2,
+          wavphi2, jnp.asarray(f_masks["rowup"]),
+          jnp.asarray(f_masks["colmain"]), jnp.asarray(f_masks["colhalf"]),
+          jnp.asarray(f_masks["coledge"]), jnp.asarray(c.a0_ghost),
+          edges)
+        a, b, ahs, bhs, edges_o, av_o = outs
+        # t continues exactly: last scheduled loop t plus one f32 dt,
+        # identical to the C driver's sequential accumulation
+        t_next = xs_table[-1, 7] + D(c.dt)
+        return stencil.State(
+            a=a, b=b, a_hs=ahs, b_hs=bhs,
+            hs_edge_a=edges_o[:, 0], hs_edge_b=edges_o[:, 1], av=av_o[:6],
+            t=t_next, step=state.step + n_steps)
+
+    class Runner:
+        """Stateful wrapper tracking step parity and loop t host-side so no
+        per-chunk device scalar fetches are needed (each costs a tunnel
+        round trip)."""
+
+        def __init__(self):
+            self.step0 = 0
+            self.t0 = 0.0
+
+        def __call__(self, state, n_steps):
+            xs = build_xs_table(model, c, self.t0, self.step0, n_steps,
+                                av_enabled=av_enabled, exact=exact_trig)
+            out = run(state, xs, n_steps, self.step0 % 2)
+            self.step0 += n_steps
+            self.t0 = float(D(xs[-1, 7] + D(c.dt)))
+            return out
+
+        def run_xs(self, state, xs_dict, parity0):
+            """Chunk interface for the Simulation driver: xs_dict columns
+            from runtime/schedule.iter_chunks."""
+            n = len(xs_dict["t"])
+            xs = np.zeros((n, XS_LANES), D)
+            xs[:, 0] = xs_dict["cos_t"]
+            xs[:, 1] = xs_dict["cos_t_dt"]
+            xs[:, 2] = xs_dict["cos_hs"]
+            xs[:, 3] = xs_dict["cos_hs_dt"]
+            xs[:, 4] = xs_dict["cos_av"]
+            xs[:, 5] = xs_dict["sin_av"]
+            xs[:, 6] = xs_dict["do_av"].astype(D)
+            xs[:, 7] = xs_dict["t"]
+            return run(state, xs, n, parity0)
+
+    return Runner()
+
+
+def build_xs_table(model, c, t0, step0, n_steps, *, av_enabled, exact):
+    """Host-side per-step table: trig, averaging gate, loop t.
+
+    fast mode: vectorized float32 trig of t0 + i*dt (matches device_trig
+    semantics); exact mode: the C driver's sequential float32 accumulation
+    with double-evaluated cos (runtime/schedule semantics).
+    """
+    D = model.np_dtype
+    f64 = np.float64
+    xs = np.zeros((n_steps, XS_LANES), D)
+    om = D(c.omega)
+    dt = D(c.dt)
+    if exact:
+        t = D(t0)
+        for i in range(n_steps):
+            t_hs = D(t + dt / 2)
+            xs[i, 0] = D(np.cos(f64(D(om * t))))
+            xs[i, 1] = D(np.cos(f64(D(om * D(t + dt)))))
+            xs[i, 2] = D(np.cos(f64(D(om * t_hs))))
+            xs[i, 3] = D(np.cos(f64(D(om * D(t_hs + dt)))))
+            xs[i, 4] = xs[i, 0]
+            xs[i, 5] = D(np.sin(f64(D(om * t))))
+            xs[i, 7] = t
+            t = D(t + dt)
+    else:
+        t = (D(t0) + np.arange(n_steps, dtype=D) * dt).astype(D)
+        t_hs = (t + dt / 2).astype(D)
+        xs[:, 0] = np.cos(om * t)
+        xs[:, 1] = np.cos(om * (t + dt))
+        xs[:, 2] = np.cos(om * t_hs)
+        xs[:, 3] = np.cos(om * (t_hs + dt))
+        xs[:, 4] = xs[:, 0]
+        xs[:, 5] = np.sin(om * t)
+        xs[:, 7] = t
+    if av_enabled and float(c.E_omega) > 0:
+        xs[:, 6] = ((xs[:, 7] >= D(c.t_start)) &
+                    (xs[:, 7] < D(c.t_end))).astype(D)
+    return xs

@@ -50,9 +50,11 @@ class Simulation:
             self.t0 = float(extra.get("t0", float(self.state.t)))
             self.frame_time = float(extra.get("frame_time", 0.0))
             self.frame_number = int(extra.get("frame_number", 1))
+            self.steps_done = int(self.state.step)
         else:
             self.state = stencil.bootstrap_state(self.c, self.model)
             self.t0 = 0.0
+            self.steps_done = 0
         self.t_start = float(cfg.t_start)
         self.t_max = self._compute_t_max()
 
@@ -62,6 +64,26 @@ class Simulation:
         self.model = SuperlatticeModel(self.cfg)
         self.c = stencil.consts_from_model(self.model)
         self._runners = {}
+        self._pallas = None
+        self.impl = self._select_impl()
+
+    def _select_impl(self):
+        import jax as _jax
+        impl = self.cfg.impl
+        if impl == "auto":
+            # pallas is float32-only; it matches the XLA path to f32 ulp
+            impl = ("pallas" if (self.cfg.dtype == "f32"
+                                 and _jax.default_backend() == "tpu")
+                    else "xla")
+        if impl == "pallas" and self.cfg.dtype != "f32":
+            raise ValueError("impl=pallas requires dtype=f32")
+        return impl
+
+    def _pallas_runner(self):
+        if self._pallas is None:
+            from ..ops.stepper_pallas import make_pallas_runner
+            self._pallas = make_pallas_runner(self.c, self.model)
+        return self._pallas
 
     def _compute_t_max(self):
         D = self.model.np_dtype
@@ -159,7 +181,13 @@ class Simulation:
             if chunk.event == "e77":
                 prev_rows = (np.asarray(self.state.a[:2]),
                              np.asarray(self.state.b[:2]))
-            self.state = self._runner(chunk.n_steps)(self.state, chunk.xs)
+            if self.impl == "pallas":
+                self.state = self._pallas_runner().run_xs(
+                    self.state, chunk.xs, self.steps_done % 2)
+            else:
+                self.state = self._runner(chunk.n_steps)(self.state,
+                                                         chunk.xs)
+            self.steps_done += chunk.n_steps
             self._handle_event(chunk, prev_rows)
             self._progress(chunk)
         self.frame_time = carry.get("frame_time", self.frame_time)

@@ -94,6 +94,7 @@ def iter_chunks(*, omega, dt, t0, t_max, t_start, E_omega, display,
             cos_hs=np.asarray(cols[3], D), cos_hs_dt=np.asarray(cols[4], D),
             cos_av=np.asarray(cols[5], D), sin_av=np.asarray(cols[6], D),
             do_av=np.asarray(cols[7], bool),
+            t=np.asarray(cols[0], D),
         )
         ch = Chunk(xs=xs, n_steps=len(buf), event=event,
                    t_first=float(cols[0][0]) if buf else float(t),

@@ -1,0 +1,73 @@
+"""Pallas megakernel vs the XLA scan path (interpreter mode on CPU;
+the same comparison runs compiled on real TPU, where it matches bit-exact
+for short horizons)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from slb2d_tpu.config import SimConfig
+from slb2d_tpu.models.superlattice import SuperlatticeModel
+from slb2d_tpu.ops import stencil
+from slb2d_tpu.ops.stepper_pallas import make_pallas_runner
+
+CFG = dict(display=4, E_dc=1.0, E_omega=2.0, omega=10.0, mu=1.0,
+           alpha=0.9495, n_harmonics=8, phi_y_min=-10.0, phi_y_max=10.0,
+           B=0.1, t_start=0.1, g_grid=64, dt=1e-3, quiet=True)
+
+
+def build():
+    cfg = SimConfig(**CFG)
+    model = SuperlatticeModel(cfg)
+    c = stencil.consts_from_model(model)
+    return cfg, model, c
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_pallas_matches_xla_scan(exact):
+    cfg, model, c = build()
+    s0 = stencil.bootstrap_state(c, model)
+    runner = make_pallas_runner(c, model, av_enabled=True, exact_trig=exact)
+    out = runner(stencil.bootstrap_state(c, model), 100)
+    out = runner(out, 60)   # second chunk: parity/t continuation
+
+    if exact:
+        from slb2d_tpu.runtime.schedule import iter_chunks
+        step = stencil.make_step_fn(c, av_enabled=True, exact_trig=True)
+        chunks = list(iter_chunks(
+            omega=model.omega, dt=model.dt, t0=0.0, t_max=0.161,
+            t_start=cfg.t_start, E_omega=model.E_omega, display=4,
+            frame_start=0.0, T=model.T, dtype=model.np_dtype,
+            chunk_max=10**9))
+        assert chunks[0].n_steps >= 160
+        xs = {k: v[:160] for k, v in chunks[0].xs.items()}
+        ref = jax.jit(lambda s, xs: jax.lax.scan(step, s, xs)[0])(s0, xs)
+    else:
+        step = stencil.make_step_fn(c, av_enabled=True, exact_trig=False)
+        ref = jax.jit(
+            lambda s: jax.lax.scan(step, s, None, length=160)[0])(s0)
+
+    for f in ("a", "b", "a_hs", "b_hs"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-4, atol=1e-7, err_msg=f)
+    np.testing.assert_allclose(np.asarray(out.av), np.asarray(ref.av),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(out.hs_edge_a),
+                                  np.asarray(ref.hs_edge_a))
+
+
+def test_pallas_parity_ghost_cells():
+    """The parity ghost fill must survive chunk boundaries (odd-length
+    chunk flips parity)."""
+    cfg, model, c = build()
+    runner = make_pallas_runner(c, model)
+    out = runner(stencil.bootstrap_state(c, model), 7)   # odd
+    out = runner(out, 6)
+    # after 13 steps (odd), main buffer 1 is current: ghost cells zero
+    a = np.asarray(out.a)
+    assert np.all(a[:, 0] == 0)
+    out = runner(out, 1)
+    a = np.asarray(out.a)   # 14 steps: buffer 0, ghost col 0 = a0 col 0
+    np.testing.assert_array_equal(a[:, 0], model.a0[:, 0])
