@@ -1,0 +1,108 @@
+"""Command-line parameter sweeps: `slb2d-sweep` / `python -m
+slb2d_tpu.sweep_cli`.
+
+The TPU-native replacement for driving the reference's stdin parameter
+server from a shell script point-by-point: a whole grid runs as one
+vmapped, mesh-sharded program (BASELINE config #5, absorption maps).
+
+Usage: the regular solver `key=value` arguments (display is ignored; sweeps
+are display-4 semantics) plus any number of
+
+    sweep:NAME=lo,hi,count        linspace grid over NAME
+    sweep:NAME=v1;v2;v3           explicit values
+
+Multiple sweep axes form the cartesian product.  Output: one line per
+point with all six physics parameters and the display-4 observables.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def parse_sweep_args(argv):
+    sweeps = {}
+    rest = []
+    for tok in argv:
+        if tok.startswith("sweep:"):
+            body = tok[len("sweep:"):]
+            name, _, spec = body.partition("=")
+            if ";" in spec:
+                vals = np.asarray([float(v) for v in spec.split(";")])
+            else:
+                parts = spec.split(",")
+                if len(parts) != 3:
+                    print(f"ERROR: bad sweep spec {tok!r} "
+                          "(want lo,hi,count or v1;v2;...)", file=sys.stderr)
+                    raise SystemExit(1)
+                lo, hi, n = float(parts[0]), float(parts[1]), int(parts[2])
+                vals = np.linspace(lo, hi, n)
+            sweeps[name] = vals
+        else:
+            rest.append(tok)
+    return sweeps, rest
+
+
+HEADER = ("#E_dc E_omega omega mu alpha B "
+          "v_dr_av v_y_av m_over_m_x_av A Asin "
+          "v_dr_inst v_y_inst m_over_m_x_inst norm\n")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    sweeps, rest = parse_sweep_args(argv)
+    if not sweeps:
+        print("ERROR: no sweep: axes given.", file=sys.stderr)
+        return 1
+    if not any(t.startswith("display=") for t in rest):
+        rest = ["display=4"] + rest
+
+    from . import config as cfgmod
+    try:
+        cfg = cfgmod.parse_cmd(rest)
+    except cfgmod.ConfigError:
+        return 1
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    from .parallel.mesh import make_mesh
+    from .parallel.sweep import ParameterSweep
+
+    grids = np.meshgrid(*sweeps.values(), indexing="ij")
+    flat = {k: g.ravel() for k, g in zip(sweeps.keys(), grids)}
+    B = len(next(iter(flat.values())))
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and B % n_dev == 0:
+        mesh = make_mesh((n_dev,), ("sweep",))
+
+    sweep = ParameterSweep(cfg, flat, mesh=mesh)
+    if not cfg.quiet:
+        print(f"# sweeping {list(sweeps.keys())} over {B} points "
+              f"({sweep.n_steps} steps each) on {n_dev} device(s)",
+              file=sys.stderr)
+    res = sweep.run()
+
+    out = cfgmod.open_out(cfg)
+    out.write(HEADER)
+    p = sweep.params
+    for i in range(B):
+        vals = [p.get(k, [getattr(cfg, k if k != "B" else "B")] * B)[i]
+                if k in p else getattr(cfg, k)
+                for k in ("E_dc", "E_omega", "omega", "mu", "alpha", "B")]
+        obs = [res[k][i] for k in (
+            "v_dr_av", "v_y_av", "m_over_m_x_av", "A", "Asin",
+            "v_dr_inst", "v_y_inst", "m_over_m_x_inst", "norm")]
+        out.write(" ".join(f"{float(v):.12e}" for v in vals + obs) + "\n")
+    out.flush()
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

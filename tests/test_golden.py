@@ -134,14 +134,14 @@ def test_display7_frames_vs_reference(tmp_path, monkeypatch):
 
 
 def test_parameter_server_session_vs_reference(tmp_path, monkeypatch):
-    """Live parameter mutations (E_dc then B) must continue from the same
+    """Live parameter mutations (E_dc, B, then mu) must continue from the same
     state and reproduce all three display-4 lines."""
     gold = d4_values(read_gold("repl_f64.txt"))
     mine_text = run_sim(tmp_path, monkeypatch, display=4, dtype="f64",
                         n_harmonics=8, g_grid=24, t_start=0.5, omega=10.0,
                         read_from="stdin",
-                        repl_input="E_dc 1.5 0.5\nB 0.2 0.5\nexit\n")
+                        repl_input="E_dc 1.5 0.5\nB 0.2 0.5\nmu 1.3 0.3\nexit\n")
     mine = d4_values(mine_text)
-    assert len(gold) == len(mine) == 3
+    assert len(gold) == len(mine) == 4
     for g, m in zip(gold, mine):
         np.testing.assert_allclose(m, g, rtol=1e-8, atol=1e-12)
