@@ -108,7 +108,8 @@ def _shift(arr, dn: int, dm: int):
 
 
 def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
-                    cos_t, cos_t_dt, *, main: bool, shift=_shift):
+                    cos_t, cos_t_dt, *, main: bool, shift=_shift,
+                    use_reciprocal: bool = False):
     """One stencil application.
 
     a_src/b_src are read pointwise at (n, m) (the arrays being advanced);
@@ -135,8 +136,15 @@ def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
          + c.bdt * (c.w_n * shift(dm_a, -1, 0) - shift(dm_a, 1, 0)))
 
     xi = c.nu2 + mu_t1 * mu_t1
-    a_new = (g * c.nu - h * mu_t1) / xi
-    b_new = (g * mu_t1 + h * c.nu) / xi
+    if use_reciprocal:
+        # one division + two multiplies instead of two divisions; differs
+        # from the C expression by ~1 ulp (fast engines only)
+        inv_xi = 1.0 / xi
+        a_new = (g * c.nu - h * mu_t1) * inv_xi
+        b_new = (g * mu_t1 + h * c.nu) * inv_xi
+    else:
+        a_new = (g * c.nu - h * mu_t1) / xi
+        b_new = (g * mu_t1 + h * c.nu) / xi
 
     cols = c.col_main if main else c.col_half
     mask = jnp.logical_and(c.row_update, cols)

@@ -78,6 +78,7 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
     emask = consts.col_edge                    # (1, MP) bool
     dtype = a_out.dtype
     zero = jnp.zeros((), dtype)
+    emaskf = emask.astype(dtype)
 
     def body(i, _):
         cos_t = xs_ref[i, 0]
@@ -95,18 +96,17 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
 
         a_new, b_new = stencil.apply_half_step(
             consts, a, b, ahs, bhs, cos_t, cos_t_dt, main=True,
-            shift=_pl_shift)
+            shift=_pl_shift, use_reciprocal=True)
         # parity ghost fill (main buffer 0 keeps a0 ghost cells)
         ghost_on = (i + parity0 + 1) % 2 == 0
         a_new = a_new + jnp.where(ghost_on, consts.a0_ghost, zero)
 
         ahs_new, bhs_new = stencil.apply_half_step(
             consts, ahs, bhs, a_new, b_new, cos_hs, cos_hs_dt, main=False,
-            shift=_pl_shift)
+            shift=_pl_shift, use_reciprocal=True)
         # stale column M+1 of the retired half-step buffer
         ahs_new = jnp.where(emask, edges_out[:, 0:1], ahs_new)
         bhs_new = jnp.where(emask, edges_out[:, 1:2], bhs_new)
-        emaskf = emask.astype(dtype)
         new_edge_a = jnp.sum(ahs * emaskf, axis=1, keepdims=True)
         new_edge_b = jnp.sum(bhs * emaskf, axis=1, keepdims=True)
 

@@ -11,9 +11,12 @@ import numpy as np
 from ..ops.stencil import State
 
 
-def save_state(path: str, state: State, **extra):
+def save_state(path: str, state: State, *, model=None, **extra):
     arrays = {f"state_{k}": np.asarray(v) for k, v in state._asdict().items()}
     arrays.update({f"extra_{k}": np.asarray(v) for k, v in extra.items()})
+    if model is not None:
+        arrays["meta_N"] = np.asarray(model.N)
+        arrays["meta_M"] = np.asarray(model.M)
     np.savez_compressed(path, **arrays)
 
 
@@ -28,6 +31,12 @@ def load_state(path: str, model):
         raise ValueError(
             f"checkpoint shape {st.a.shape} does not match configured grid "
             f"({model.NHP}, {model.MP}) — n-harmonics/g-grid must match")
+    if "meta_N" in data and (int(data["meta_N"]) != model.N
+                             or int(data["meta_M"]) != model.M):
+        raise ValueError(
+            f"checkpoint grid (N={int(data['meta_N'])}, "
+            f"M={int(data['meta_M'])}) does not match configured "
+            f"(N={model.N}, M={model.M})")
     if st.a.dtype != model.np_dtype:
         raise ValueError(
             f"checkpoint dtype {st.a.dtype} does not match dtype= setting")

@@ -152,8 +152,8 @@ class Simulation:
             self._apply_mutation(*mut)
 
         if cfg.checkpoint:
-            save_state(cfg.checkpoint, self.state, t0=self.t_exit,
-                       frame_time=self.frame_time,
+            save_state(cfg.checkpoint, self.state, model=self.model,
+                       t0=self.t_exit, frame_time=self.frame_time,
                        frame_number=self.frame_number)
         if self.out not in (sys.stdout, sys.stderr):
             self.out.close()

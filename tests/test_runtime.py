@@ -1,0 +1,113 @@
+"""Runtime features the reference lacks: checkpoint/resume, NaN guard,
+plus display-9 strobe semantics (GPU-only in the reference, so pinned by
+construction here: schedule emission at drive-period wraparound +
+accumulating frames)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from slb2d_tpu.config import SimConfig
+from slb2d_tpu.runtime import schedule
+from slb2d_tpu.runtime.loop import Simulation, NumericalInstability
+
+BASE = dict(display=4, E_dc=1.0, E_omega=2.0, omega=10.0, mu=1.0,
+            alpha=0.9495, n_harmonics=8, phi_y_min=-10.0, phi_y_max=10.0,
+            B=0.1, t_start=0.5, g_grid=24, dt=1e-3, quiet=True)
+
+
+def d4_line(path):
+    with open(path) as fh:
+        return [l for l in fh if not l.startswith("#")][0]
+
+
+def test_checkpoint_resume_equals_uninterrupted(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    # uninterrupted run to t_start=0.5
+    Simulation(SimConfig(**{**BASE, "out_file": "full.txt"})).run()
+
+    # interrupted: run to t_start=0.2 (ends at 0.2+T), checkpoint, resume.
+    # Resuming continues the clock; choose t-max so total steps match:
+    # run1 covers [0, 0.2+T); resume covers [0.2+T, 0.5+T).
+    cfg1 = SimConfig(**{**BASE, "display": 8, "t_start": 0.2,
+                        "out_file": "p1.txt", "checkpoint": "ck.npz"})
+    Simulation(cfg1).run()
+    assert os.path.exists("ck.npz")
+
+    cfg2 = SimConfig(**{**BASE, "out_file": "resumed.txt",
+                        "resume": "ck.npz"})
+    sim2 = Simulation(cfg2)
+    sim2.run()
+
+    full = np.array(d4_line("full.txt").split(), float)
+    resumed = np.array(d4_line("resumed.txt").split(), float)
+    # same total trajectory: instantaneous columns must agree tightly;
+    # averages differ only in whether early window samples were counted
+    np.testing.assert_allclose(resumed[4], full[4], rtol=1e-5)   # v_dr
+    np.testing.assert_allclose(resumed[6], full[6], rtol=1e-6)   # norm
+    np.testing.assert_allclose(resumed[7], full[7], rtol=1e-4, atol=1e-7)
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = SimConfig(**{**BASE, "display": 8, "t_start": 0.05,
+                       "out_file": "x.txt", "checkpoint": "ck.npz"})
+    Simulation(cfg).run()
+    bad = SimConfig(**{**BASE, "g_grid": 48, "resume": "ck.npz",
+                       "out_file": "y.txt"})
+    with pytest.raises(ValueError, match="does not match"):
+        Simulation(bad)
+
+
+def test_nan_guard_detects_instability(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    # dt + strong magnetic coupling beyond the stability limit
+    cfg = SimConfig(**{**BASE, "dt": 0.5, "B": 10.0, "t_start": 100.0,
+                       "out_file": "nan.txt"})
+    with pytest.raises(NumericalInstability, match="decrease dt"):
+        Simulation(cfg).run()
+
+
+def test_display9_strobe_schedule_and_accumulation(tmp_path, monkeypatch):
+    """Strobes fire once per drive period after t_start (wraparound of the
+    f32 fractional t/T, src/boltzmann_solver.c:260-275) and frames
+    accumulate."""
+    monkeypatch.chdir(tmp_path)
+    cfg = SimConfig(**{**BASE, "display": 9, "omega": 50.0, "t_start": 0.05})
+    # t_max = t_start + 101*T; T = 2pi/50 ~ 0.1257
+    sim = Simulation(cfg)
+    sim.run()
+    strobes = sorted(f for f in os.listdir(".") if f.startswith("strobe"))
+    assert len(strobes) > 50         # ~100 periods
+    # accumulation: values in a fixed position must be non-decreasing
+    # (clamped-positive frames are summed)
+    def val(fname):
+        with open(fname) as fh:
+            for _ in range(3):
+                line = fh.readline()
+        return float(line.split()[2])
+    # pick a row index in the populated center region: phi_x=-pi block,
+    # middle m -> line index M//2
+    vals = []
+    for s in (strobes[0], strobes[len(strobes) // 2], strobes[-1]):
+        with open(s) as fh:
+            lines = [fh.readline() for _ in range(15)]
+        vals.append(float(lines[12].split()[2]))
+    assert vals[0] <= vals[1] <= vals[2]
+    assert vals[2] > 0
+
+
+def test_schedule_chunk_boundaries_exact():
+    """Chunked and unchunked schedules must produce identical step records."""
+    kw = dict(omega=10.0, dt=1e-3, t0=0.0, t_max=0.7, t_start=0.3,
+              E_omega=2.0, display=4, frame_start=0.0,
+              T=np.float32(2 * np.pi / 10))
+    big = list(schedule.iter_chunks(chunk_max=10**9, **kw))
+    small = list(schedule.iter_chunks(chunk_max=7, **kw))
+    cat_big = {k: np.concatenate([c.xs[k] for c in big]) for k in big[0].xs}
+    cat_small = {k: np.concatenate([c.xs[k] for c in small])
+                 for k in small[0].xs}
+    for k in cat_big:
+        np.testing.assert_array_equal(cat_big[k], cat_small[k], err_msg=k)
