@@ -12,6 +12,7 @@ never reset, only the scalar drive parameters and averaging window change.
 from __future__ import annotations
 
 import sys
+import time
 
 import jax
 import numpy as np
@@ -119,6 +120,8 @@ class Simulation:
             repl_stream = sys.stdin
         if not self.quiet:
             print(f"# t_max = {writers.f20(self.model.np_dtype(self.t_max))}")
+        wall_t0 = time.perf_counter()
+        steps0 = self.steps_done
 
         while True:
             self._run_round()
@@ -151,6 +154,14 @@ class Simulation:
                 break
             self._apply_mutation(*mut)
 
+        if not self.quiet:
+            wall = time.perf_counter() - wall_t0
+            steps = self.steps_done - steps0
+            if steps and wall > 0:
+                sites = 2 * (self.model.N + 1) * (self.model.M + 1) * steps
+                print(f"\n# perf: {steps} steps in {wall:.3f}s = "
+                      f"{steps / wall:.1f} steps/s "
+                      f"({sites / wall:.3e} site-updates/s) [impl={self.impl}]")
         if cfg.checkpoint:
             save_state(cfg.checkpoint, self.state, model=self.model,
                        t0=self.t_exit, frame_time=self.frame_time,

@@ -42,6 +42,11 @@ class Chunk:
 
 def count_steps(t0, t_max, dt, dtype=f32) -> int:
     """Number of iterations of `for(t=t0; t<t_max; t+=dt)` at dtype."""
+    if dtype is f32:
+        from ..io.native import count_steps_f32
+        n = count_steps_f32(float(t0), float(t_max), float(dt))
+        if n is not None:
+            return n
     t = dtype(t0)
     t_max = dtype(t_max)
     dt = dtype(dt)

@@ -1,0 +1,50 @@
+"""CLI entry points end-to-end (in-process, CPU backend from conftest)."""
+
+import os
+
+import numpy as np
+
+from slb2d_tpu import cli, sweep_cli
+
+ARGS = ["E_dc=1.0", "E_omega=2.0", "omega=10.0", "mu=1.0", "alpha=0.9495",
+        "n-harmonics=8", "PhiYmin=-5", "PhiYmax=5", "B=0.1", "t-max=0.2",
+        "g-grid=32", "dt=0.001", "quiet=1"]
+
+
+def test_cli_display4(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["display=4", *ARGS, "o=out.txt"])
+    assert rc == 0
+    lines = open("out.txt").read().splitlines()
+    assert lines[0].startswith("# display=4")
+    vals = np.array(lines[2].split(), float)
+    assert vals.shape == (13,)
+    assert abs(vals[6] - 1.0) < 1e-3          # norm conservation
+
+
+def test_cli_checkpoint_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert cli.main(["display=8", *ARGS, "checkpoint=state.npz"]) == 0
+    assert os.path.exists("frame.data") and os.path.exists("state.npz")
+    assert cli.main(["display=4", *ARGS, "o=r.txt", "resume=state.npz"]) == 0
+
+
+def test_cli_rejects_bad_args():
+    assert cli.main(["display=4"]) == 1
+    assert cli.main(["display=12", *ARGS]) == 1
+
+
+def test_sweep_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = sweep_cli.main(["display=4", *ARGS, "sweep:E_dc=0.5,1.5,2",
+                         "sweep:B=0.0;0.2", "o=map.txt"])
+    assert rc == 0
+    rows = [l for l in open("map.txt") if not l.startswith("#")]
+    assert len(rows) == 4                      # 2 x 2 cartesian grid
+    vals = np.array([r.split() for r in rows], float)
+    assert np.all(np.isfinite(vals))
+    np.testing.assert_allclose(vals[:, -1], 1.0, atol=1e-3)  # norms
+
+
+def test_sweep_cli_rejects_no_axes():
+    assert sweep_cli.main(["display=4", *ARGS]) == 1
