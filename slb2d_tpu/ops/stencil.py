@@ -32,7 +32,7 @@ so float32 runs pin against the C solver:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -36,3 +36,22 @@ def default_split(n: int) -> tuple[int, int]:
         if n % space == 0 and n // space >= space:
             return (n // space, space)
     return (n, 1)
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize jax.distributed for multi-host meshes (DCN).
+
+    Single-host single-chip environments (this box) skip silently; on a
+    pod slice the standard env vars or explicit arguments apply.  Sweep
+    grids shard across hosts exactly like across chips — the mesh code in
+    this package is host-count agnostic.
+    """
+    import jax
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        return True
+    except (ValueError, RuntimeError):
+        return False

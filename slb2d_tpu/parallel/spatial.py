@@ -15,8 +15,6 @@ The reference has no multi-device analogue (SURVEY.md §2.3: its only
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -15,15 +15,12 @@ crossing even though all points share one scan.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import SimConfig
 from ..constants import PI
-from ..models.bessel import bessel_In
 from ..models.superlattice import SuperlatticeModel
 from ..ops import stencil
 from ..runtime.schedule import count_steps

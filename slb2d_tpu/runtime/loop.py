@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from .. import config as cfgmod
-from ..config import SimConfig
+from ..config import SimConfig  # noqa: F401  (public API)
 from ..models.superlattice import SuperlatticeModel
 from ..ops import frames, stencil
 from ..io import writers
