@@ -18,9 +18,11 @@ def main(argv=None):
         return 1
 
     import jax
-    # float64 mode needs x64; the exact-f32 quadrature path also uses a few
-    # f64 scalar ops per step (see ops/stencil.av_update)
-    jax.config.update("jax_enable_x64", True)
+    # x64 only for float64 mode: the Pallas kernel (and TPU generally)
+    # wants a pure-i32/f32 world.  Never force it OFF — the embedding
+    # process (tests) may legitimately run with x64 on.
+    if cfg.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
 
     if cfg.device:
         devs = jax.devices()

@@ -119,28 +119,35 @@ def write_display3(out, model, recon, a, b):
     return norm
 
 
-def write_frame(out, model, recon, a, b, t, *, with_t_header=True):
+def write_frame(out, model, recon, a, b, t, *, with_t_header=True,
+                F=None, norm=None):
     """2-D frame (GPU print_2d_data format, src/boltzmann_solver.c:487-507):
-    m runs 1..M+1; `# t=` header; norm over the in-bounds m=1..M."""
+    m runs 1..M+1; `# t=` header; norm over the in-bounds m=1..M.
+
+    F/norm may be precomputed (device-side reconstruction path); otherwise
+    they are derived from the host arrays a, b."""
     if with_t_header:
         out.write(f"# t={f20(model.np_dtype(t))}\n")
     m_lo, m_hi = 1, model.M + 2       # m < M+2
-    F = recon.reconstruct(a, b, m_lo, m_hi)
+    if F is None:
+        F = recon.reconstruct(a, b, m_lo, m_hi)
     phi = model.phi
     _write_xy_rows(out, recon.phi_x, phi[m_lo:m_hi], F)
-    norm = observables.eval_norm(model, a)
+    if norm is None:
+        norm = observables.eval_norm(model, a)
     out.write(f"# norm={f20(norm)}\n")
     _echo(f"# norm={f20(norm)}\n", out)
     return norm
 
 
-def write_strobe(out, model, recon, strobe_values, a, t):
+def write_strobe(out, model, recon, strobe_values, a, t, *, norm=None):
     """Strobe frame (display 9, src/boltzmann_solver.c:459-484):
     accumulated f over drive periods; footers `# norm=` then `# t=`."""
     m_lo, m_hi = 1, model.M + 2
     phi = model.phi
     _write_xy_rows(out, recon.phi_x, phi[m_lo:m_hi], strobe_values)
-    norm = observables.eval_norm(model, a)
+    if norm is None:
+        norm = observables.eval_norm(model, a)
     out.write(f"# norm={f20(norm)}\n")
     out.write(f"# t={f20(model.np_dtype(t))}\n")
     _echo(f"# norm={f20(norm)}\n", out)

@@ -44,6 +44,7 @@ class FrameReconstructor:
         prod = (n[:, None] * self.phi_x[None, :]).astype(D)  # float product
         self.cos_t = np.cos(prod.astype(f64)).T.copy()       # (X, NHP)
         self.sin_t = np.sin(prod.astype(f64)).T.copy()
+        self._dev_fn = None
 
     def reconstruct(self, a: np.ndarray, b: np.ndarray,
                     m_lo: int, m_hi: int, clamp=True) -> np.ndarray:
@@ -55,6 +56,30 @@ class FrameReconstructor:
         if clamp:
             F = np.maximum(F, 0)
         return F
+
+    def reconstruct_on_device(self, a, b, m_lo: int, m_hi: int):
+        """MXU reconstruction for device-resident f32 states: one einsum on
+        the chip, one (X, m) transfer — instead of moving a and b to the
+        host and contracting there.  Used by movie mode on TPU; f64 mode
+        keeps the host path (f64 matmul is emulated on TPU)."""
+        import jax
+        import jax.numpy as jnp
+        if self._dev_fn is None:
+            cos_t = jnp.asarray(self.cos_t.astype(np.float32))
+            sin_t = jnp.asarray(self.sin_t.astype(np.float32))
+
+            def f(a, b):
+                asl = jax.lax.slice_in_dim(a, m_lo, m_hi, axis=1)
+                bsl = jax.lax.slice_in_dim(b, m_lo, m_hi, axis=1)
+                F = (jnp.dot(cos_t, asl, preferred_element_type=jnp.float32)
+                     + jnp.dot(sin_t, bsl,
+                               preferred_element_type=jnp.float32))
+                return jnp.maximum(F, 0)
+
+            self._dev_fn = (jax.jit(f), (m_lo, m_hi))
+        fn, rng = self._dev_fn
+        assert rng == (m_lo, m_hi), "one reconstructor per slice range"
+        return np.asarray(fn(a, b))
 
     def reconstruct_equilibrium(self, m_lo: int, m_hi: int) -> np.ndarray:
         a0 = self.model.a0[:, m_lo:m_hi].astype(f64)

@@ -18,9 +18,11 @@ f64 = np.float64
 
 
 def eval_norm(model, a: np.ndarray):
-    """norm = 2*pi*sqrt(alpha) * sum_{m=1..M} a0_row * dPhi  (:289-296)."""
+    """norm = 2*pi*sqrt(alpha) * sum_{m=1..M} a0_row * dPhi  (:289-296).
+    Accepts the full (NHP, MP) array or just its harmonic-0 row."""
     D = model.np_dtype
-    s = D(np.dot(a[0].astype(D), model.w_norm))
+    row = a[0] if a.ndim == 2 else a
+    s = D(np.dot(row.astype(D), model.w_norm))
     # C: norm *= 2*PI*sqrt(alpha)  — double expression, float store
     return D(f64(s) * (2 * PI * np.sqrt(f64(model.alpha))))
 

@@ -35,12 +35,14 @@ XS_LANES = 8
 
 def _pl_shift(arr, dn: int, dm: int):
     """pltpu.roll-based (n+dn, m+dm) reader for VMEM-resident arrays.
-    pltpu.roll only accepts non-negative shifts; use the modular twin."""
+    pltpu.roll only accepts non-negative shifts; use the modular twin.
+    Shift amounts are pinned to int32 — under jax_enable_x64 a Python int
+    would lower as i64, which tpu.dynamic_rotate rejects."""
     out = arr
     if dm:
-        out = pltpu.roll(out, (-dm) % out.shape[1], 1)
+        out = pltpu.roll(out, np.int32((-dm) % out.shape[1]), 1)
     if dn:
-        out = pltpu.roll(out, (-dn) % out.shape[0], 0)
+        out = pltpu.roll(out, np.int32((-dn) % out.shape[0]), 0)
     return out
 
 
@@ -98,7 +100,7 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
             consts, a, b, ahs, bhs, cos_t, cos_t_dt, main=True,
             shift=_pl_shift, use_reciprocal=True)
         # parity ghost fill (main buffer 0 keeps a0 ghost cells)
-        ghost_on = (i + parity0 + 1) % 2 == 0
+        ghost_on = ((i + np.int32(parity0 + 1)) % np.int32(2)) == 0
         a_new = a_new + jnp.where(ghost_on, consts.a0_ghost, zero)
 
         ahs_new, bhs_new = stencil.apply_half_step(
@@ -130,9 +132,11 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
         bhs_out[:] = bhs_new
         edges_out[:, 0:1] = new_edge_a
         edges_out[:, 1:2] = new_edge_b
-        return 0
+        return np.int32(0)
 
-    jax.lax.fori_loop(0, n_steps, body, 0)
+    # int32 bounds: under jax_enable_x64 plain ints would make the loop
+    # index (and everything derived) i64, which Mosaic scalar ops reject
+    jax.lax.fori_loop(np.int32(0), np.int32(n_steps), body, np.int32(0))
 
 
 def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,

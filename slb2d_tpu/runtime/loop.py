@@ -20,7 +20,7 @@ import numpy as np
 from .. import config as cfgmod
 from ..config import SimConfig  # noqa: F401  (public API)
 from ..models.superlattice import SuperlatticeModel
-from ..ops import frames, stencil
+from ..ops import frames, observables, stencil
 from ..io import writers
 from . import schedule
 from .checkpoint import load_state, save_state
@@ -72,9 +72,11 @@ class Simulation:
         import jax as _jax
         impl = self.cfg.impl
         if impl == "auto":
-            # pallas is float32-only; it matches the XLA path to f32 ulp
+            # pallas is float32-only and (on TPU) wants x64 off — Mosaic
+            # lowering of mixed i32/i64 scalars is broken under x64
             impl = ("pallas" if (self.cfg.dtype == "f32"
-                                 and _jax.default_backend() == "tpu")
+                                 and _jax.default_backend() == "tpu"
+                                 and not _jax.config.jax_enable_x64)
                     else "xla")
         if impl == "pallas" and self.cfg.dtype != "f32":
             raise ValueError("impl=pallas requires dtype=f32")
@@ -134,12 +136,12 @@ class Simulation:
             if cfg.display == 8:
                 # single-shot frame.data (GPU driver semantics,
                 # src/boltzmann_solver.c:334-346)
-                a, b = self._host_ab()
+                recon, F, norm = self._frame_and_norm()
                 if not self.quiet:
                     print("\nWriting frame frame.data")
                 with open("frame.data", "w") as fh:
-                    writers.write_frame(fh, self.model, self._get_recon(),
-                                        a, b, self._loop_t())
+                    writers.write_frame(fh, self.model, recon, None, None,
+                                        self._loop_t(), F=F, norm=norm)
                 break
             if cfg.display == 4:
                 a, b = self._host_ab()
@@ -215,18 +217,16 @@ class Simulation:
                 self.out, model, a_prev, b_prev,
                 np.asarray(self.state.av), chunk.t_last, quiet=self.quiet)
         elif chunk.event == "e7":
-            a, b = self._host_ab()
+            recon, F, norm = self._frame_and_norm()
             fname = f"frame{self.frame_number:08d}.data"
             self.frame_number += 1
             if not self.quiet:
                 print(f"\nWriting frame {fname}")
             with open(fname, "w") as fh:
-                writers.write_frame(fh, model, self._get_recon(), a, b,
-                                    chunk.t_last)
+                writers.write_frame(fh, model, recon, None, None,
+                                    chunk.t_last, F=F, norm=norm)
         elif chunk.event == "e9":
-            a, b = self._host_ab()
-            recon = self._get_recon()
-            F = recon.reconstruct(a, b, 1, model.M + 2)
+            recon, F, norm = self._frame_and_norm()
             if self.strobe_values is None:
                 self.strobe_values = np.zeros_like(F)
             self.strobe_values = (self.strobe_values + F).astype(
@@ -237,7 +237,7 @@ class Simulation:
                 print(f"\nWriting strobe {fname}")
             with open(fname, "w") as fh:
                 writers.write_strobe(fh, model, recon, self.strobe_values,
-                                     a, chunk.t_last)
+                                     None, chunk.t_last, norm=norm)
 
     def _progress(self, chunk):
         # reference: `\rt=... %` every 300 steps (:206-213)
@@ -253,6 +253,21 @@ class Simulation:
 
     def _host_ab(self):
         return np.asarray(self.state.a), np.asarray(self.state.b)
+
+    def _frame_and_norm(self):
+        """Reconstruct the current frame (m=1..M+1) and norm, on-device
+        (MXU einsum, one small transfer) for f32 on TPU, else on host."""
+        model = self.model
+        recon = self._get_recon()
+        if (model.np_dtype == np.float32
+                and jax.default_backend() == "tpu"):
+            F = recon.reconstruct_on_device(self.state.a, self.state.b,
+                                            1, model.M + 2)
+            norm = observables.eval_norm(model, np.asarray(self.state.a[0]))
+            return recon, F, norm
+        a, b = self._host_ab()
+        F = recon.reconstruct(a, b, 1, model.M + 2)
+        return recon, F, observables.eval_norm(model, a)
 
     def _check_finite(self):
         av = np.asarray(self.state.av)

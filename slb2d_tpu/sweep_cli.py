@@ -66,7 +66,8 @@ def main(argv=None):
         return 1
 
     import jax
-    jax.config.update("jax_enable_x64", True)
+    if cfg.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
 
     from .parallel.mesh import make_mesh
     from .parallel.sweep import ParameterSweep
