@@ -186,7 +186,10 @@ class Simulation:
                 E_omega=model.E_omega, display=cfg.display,
                 frame_start=cfg.frame_start, T=model.T,
                 dtype=model.np_dtype,
-                chunk_max=cfg.steps_per_chunk or 4096,
+                # pallas: the per-step xs table lives in SMEM (1 MB with
+                # ~16x window padding) — cap chunks at 512 steps there
+                chunk_max=cfg.steps_per_chunk or
+                (512 if self.impl == "pallas" else 4096),
                 frame_time0=self.frame_time,
                 last_tT_reminder0=self.last_rem,
                 carry_out=carry):

@@ -92,8 +92,7 @@ def main(argv=None):
     out.write(HEADER)
     p = sweep.params
     for i in range(B):
-        vals = [p.get(k, [getattr(cfg, k if k != "B" else "B")] * B)[i]
-                if k in p else getattr(cfg, k)
+        vals = [p[k][i] if k in p else getattr(cfg, k)
                 for k in ("E_dc", "E_omega", "omega", "mu", "alpha", "B")]
         obs = [res[k][i] for k in (
             "v_dr_av", "v_y_av", "m_over_m_x_av", "A", "Asin",
