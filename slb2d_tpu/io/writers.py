@@ -97,6 +97,37 @@ def write_display77_line(out, model, a_prev, b_prev, av_data, t, *,
     return norm
 
 
+def write_display77_from_record(out, model, rec, *, quiet=False):
+    """Format one display-77 line from an on-device emission record
+    (ops/stencil.emission_record): [norm_sum, v_dr_sum, v_y_sum, m_x_sum,
+    t, av[0..5]].  Same float32 scaling points as the array-based writer."""
+    D = model.np_dtype
+    norm_sum, v_dr, v_y, m_x, t = (D(rec[0]), D(rec[1]), D(rec[2]),
+                                   D(rec[3]), D(rec[4]))
+    av_data = np.asarray(rec[5:11], D)
+    norm = D(f64(norm_sum) * (2 * PI * np.sqrt(f64(model.alpha))))
+    vm, ym, mm = (model.v_dr_multiplier, model.v_y_multiplier,
+                  model.m_over_multiplier)
+    d = av_data.copy()
+    d[1] = D(d[1] * vm)
+    d[2] = D(d[2] * ym)
+    d[3] = D(d[3] * mm)
+    d[4] = D(D(d[4] * vm) / t)
+    d[5] = D(D(d[5] * vm) / t)
+    v_dr_i = D(v_dr * vm)
+    if not quiet:
+        print(f"\n# t={f20(t)} norm={f20(norm)}")
+    a_inst = float(np.cos(f64(D(model.omega * t)))) * float(v_dr_i)
+    out.write(HEADER_D77)
+    out.write(" ".join([
+        f20(model.E_dc), f20(model.E_omega), f20(model.omega), f20(model.mu),
+        f20(v_dr_i), f20(d[4]), f20(norm), f20(D(v_y * ym)),
+        f20(D(m_x * mm)), f20(d[1]), f20(d[2]), f20(d[3]),
+        f20(a_inst), f20(t), f20(d[4])]) + "\n")
+    out.flush()
+    return norm
+
+
 def write_display3(out, model, recon, a, b):
     """Current vs equilibrium distribution dump
     (src/boltzmann_c_solver.c:219-234): m runs 1..M-1."""

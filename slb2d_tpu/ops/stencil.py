@@ -269,19 +269,39 @@ def device_trig(c: StencilConsts, t):
     )
 
 
-def make_step_fn(c: StencilConsts, *, av_enabled: bool, exact_trig: bool):
+def emission_record(c: StencilConsts, pre: State, post: State):
+    """Raw per-step observables for batched display-77 emission: sums over
+    the PRE-step arrays (the reference prints a[current], the pre-swap
+    state, src/boltzmann_c_solver.c:182) plus the POST-step av_data and the
+    step's loop t.  Host-side formatting applies the multipliers."""
+    return jnp.concatenate([
+        jnp.stack([
+            jnp.sum(pre.a[0] * c.w_av),   # norm bounds == av bounds (m=1..M)
+            jnp.sum(pre.b[1] * c.w_av),
+            jnp.sum(pre.a[0] * c.w_av_phi),
+            jnp.sum(pre.a[1] * c.w_av),
+            pre.t.astype(pre.a.dtype)]),
+        post.av])
+
+
+def make_step_fn(c: StencilConsts, *, av_enabled: bool, exact_trig: bool,
+                 collect_obs: bool = False):
     """Build the lax.scan body.
 
     exact_trig=True: xs supplies host-precomputed (trig..., do_av) per step
     (bit-replicating the C solver's double-evaluated cos of float args).
     exact_trig=False: trig is evaluated on device from the carried t and
     do_av becomes the traced condition t >= t_start.
+    collect_obs=True: the scan emits an (11,) observable record per step
+    (batched display-77 emission — no host sync per emission).
     """
     if exact_trig:
         def step(state: State, xs):
             trig = (xs["cos_t"], xs["cos_t_dt"], xs["cos_hs"],
                     xs["cos_hs_dt"], xs["cos_av"], xs["sin_av"])
-            return full_step(c, state, trig, xs["do_av"]), None
+            new = full_step(c, state, trig, xs["do_av"])
+            ys = emission_record(c, state, new) if collect_obs else None
+            return new, ys
     else:
         def step(state: State, xs):
             trig = device_trig(c, state.t)

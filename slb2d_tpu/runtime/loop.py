@@ -98,14 +98,22 @@ class Simulation:
 
     def _runner(self, n_steps: int):
         if n_steps not in self._runners:
+            collect = self._batched_emission()
             step = stencil.make_step_fn(self.c, av_enabled=True,
-                                        exact_trig=True)
+                                        exact_trig=True,
+                                        collect_obs=collect)
 
             def run(state, xs):
-                return jax.lax.scan(step, state, xs)[0]
+                return jax.lax.scan(step, state, xs)
 
             self._runners[n_steps] = jax.jit(run, donate_argnums=0)
         return self._runners[n_steps]
+
+    def _batched_emission(self):
+        """Display-77 lines are computed on-device inside the scan and
+        fetched once per chunk (XLA engine); the pallas engine keeps the
+        per-emission chunk cut."""
+        return self.cfg.display == 77 and self.impl != "pallas"
 
     def _get_recon(self):
         if self.recon is None or self.recon.model is not self.model:
@@ -192,7 +200,8 @@ class Simulation:
                 (512 if self.impl == "pallas" else 4096),
                 frame_time0=self.frame_time,
                 last_tT_reminder0=self.last_rem,
-                carry_out=carry):
+                carry_out=carry,
+                break_on_e77=not self._batched_emission()):
             prev_rows = None
             if chunk.event == "e77":
                 prev_rows = (np.asarray(self.state.a[:2]),
@@ -201,8 +210,13 @@ class Simulation:
                 self.state = self._pallas_runner().run_xs(
                     self.state, chunk.xs, self.steps_done % 2)
             else:
-                self.state = self._runner(chunk.n_steps)(self.state,
-                                                         chunk.xs)
+                self.state, ys = self._runner(chunk.n_steps)(self.state,
+                                                             chunk.xs)
+                if chunk.emit_idx:
+                    recs = np.asarray(ys)[list(chunk.emit_idx)]
+                    for rec in recs:
+                        writers.write_display77_from_record(
+                            self.out, self.model, rec, quiet=self.quiet)
             self.steps_done += chunk.n_steps
             self._handle_event(chunk, prev_rows)
             self._progress(chunk)

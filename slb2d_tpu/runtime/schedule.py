@@ -38,6 +38,8 @@ class Chunk:
     event: Optional[str]          # None | "e77" | "e7" | "e9"
     t_first: float                # loop t of the first step in the chunk
     t_last: float                 # loop t of the last step (event time)
+    emit_idx: tuple = ()          # in-chunk indices of display-77 emissions
+                                  # (batched-emission mode only)
 
 
 def count_steps(t0, t_max, dt, dtype=f32) -> int:
@@ -60,8 +62,8 @@ def count_steps(t0, t_max, dt, dtype=f32) -> int:
 def iter_chunks(*, omega, dt, t0, t_max, t_start, E_omega, display,
                 frame_start, T, dtype=f32, chunk_max=4096,
                 frame_time0=0.0, last_tT_reminder0=0.0,
-                av_always_off=False, carry_out: Optional[dict] = None
-                ) -> Iterator[Chunk]:
+                av_always_off=False, carry_out: Optional[dict] = None,
+                break_on_e77: bool = True) -> Iterator[Chunk]:
     """Yield the step schedule for one parameter-server round.
 
     All float state (t, frame_time, tT reminder) is carried at `dtype`,
@@ -81,6 +83,7 @@ def iter_chunks(*, omega, dt, t0, t_max, t_start, E_omega, display,
     e_om_pos = float(E_omega) > 0
 
     buf: list[tuple] = []   # (t, cos_t, cos_t_dt, cos_hs, cos_hs_dt, cos_av, sin_av, do_av)
+    emit_idx: list[int] = []
 
     def trig(x):
         # C: cos(omega*t) — float product, double cos, float store
@@ -90,7 +93,7 @@ def iter_chunks(*, omega, dt, t0, t_max, t_start, E_omega, display,
         return D(np.sin(f64(D(omega * x))))
 
     def flush(event=None, t_last=None):
-        nonlocal buf
+        nonlocal buf, emit_idx
         if not buf and event is None:
             return None
         cols = list(zip(*buf)) if buf else [[]] * 8
@@ -104,8 +107,10 @@ def iter_chunks(*, omega, dt, t0, t_max, t_start, E_omega, display,
         ch = Chunk(xs=xs, n_steps=len(buf), event=event,
                    t_first=float(cols[0][0]) if buf else float(t),
                    t_last=float(t_last if t_last is not None
-                                else (cols[0][-1] if buf else t)))
+                                else (cols[0][-1] if buf else t)),
+                   emit_idx=tuple(emit_idx))
         buf = []
+        emit_idx = []
         return ch
 
     while t < t_max:
@@ -122,7 +127,7 @@ def iter_chunks(*, omega, dt, t0, t_max, t_start, E_omega, display,
         step_rec = (t, cos_t, cos_t_dt, cos_hs, cos_hs_dt,
                     trig(t), strig(t), bool(do_av))
 
-        if emit77:
+        if emit77 and break_on_e77:
             # pre-step state must be observable: cut before, 1-step chunk
             ch = flush()
             if ch:
@@ -132,6 +137,11 @@ def iter_chunks(*, omega, dt, t0, t_max, t_start, E_omega, display,
             frame_time = D(0)
         else:
             buf.append(step_rec)
+            if emit77:
+                # batched mode: the scan collects the emission record
+                # on-device; remember which row it lands in
+                emit_idx.append(len(buf) - 1)
+                frame_time = D(0)
 
         emit7 = (display == 7 and frame_time >= 0.01 and t > frame_start)
         emit9 = False
