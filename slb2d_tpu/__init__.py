@@ -10,4 +10,10 @@ from .config import SimConfig, parse_cmd  # noqa: F401
 from .models.superlattice import SuperlatticeModel  # noqa: F401
 from .ops.stencil import State, bootstrap_state, consts_from_model  # noqa: F401
 
+
+def run_simulation(cfg, out=None, repl_stream=None):
+    """Convenience: build and run a Simulation; returns the final State."""
+    from .runtime.loop import Simulation
+    return Simulation(cfg, out=out).run(repl_stream=repl_stream)
+
 __version__ = "0.1.0"
