@@ -11,6 +11,7 @@ never reset, only the scalar drive parameters and averaging window change.
 
 from __future__ import annotations
 
+import concurrent.futures
 import sys
 import time
 
@@ -172,6 +173,7 @@ class Simulation:
                 print(f"\n# perf: {steps} steps in {wall:.3f}s = "
                       f"{steps / wall:.1f} steps/s "
                       f"({sites / wall:.3e} site-updates/s) [impl={self.impl}]")
+        self._drain_io()
         if cfg.checkpoint:
             save_state(cfg.checkpoint, self.state, model=self.model,
                        t0=self.t_exit, frame_time=self.frame_time,
@@ -239,9 +241,14 @@ class Simulation:
             self.frame_number += 1
             if not self.quiet:
                 print(f"\nWriting frame {fname}")
-            with open(fname, "w") as fh:
-                writers.write_frame(fh, model, recon, None, None,
-                                    chunk.t_last, F=F, norm=norm)
+
+            def write(fname=fname, F=F, norm=norm, t=chunk.t_last):
+                with open(fname, "w") as fh:
+                    writers.write_frame(fh, model, recon, None, None, t,
+                                        F=F, norm=norm)
+            # overlap frame IO with the next chunk's device compute;
+            # a single worker preserves file order
+            self._io_pool_submit(write)
         elif chunk.event == "e9":
             recon, F, norm = self._frame_and_norm()
             if self.strobe_values is None:
@@ -252,9 +259,13 @@ class Simulation:
             self.frame_number += 1
             if not self.quiet:
                 print(f"\nWriting strobe {fname}")
-            with open(fname, "w") as fh:
-                writers.write_strobe(fh, model, recon, self.strobe_values,
-                                     None, chunk.t_last, norm=norm)
+
+            def write(fname=fname, sv=self.strobe_values, norm=norm,
+                      t=chunk.t_last):
+                with open(fname, "w") as fh:
+                    writers.write_strobe(fh, model, recon, sv, None, t,
+                                         norm=norm)
+            self._io_pool_submit(write)
 
     def _progress(self, chunk):
         # reference: `\rt=... %` every 300 steps (:206-213)
@@ -267,6 +278,19 @@ class Simulation:
             sys.stdout.write(f"\rt={t:0.9f} {pct:0.2f}%")
             sys.stdout.flush()
             self._steps_since_progress = 0
+
+    _io_pool = None
+
+    def _io_pool_submit(self, fn):
+        if self._io_pool is None:
+            self._io_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1)
+        self._io_pool.submit(fn)
+
+    def _drain_io(self):
+        if self._io_pool is not None:
+            self._io_pool.shutdown(wait=True)
+            self._io_pool = None
 
     def _host_ab(self):
         return np.asarray(self.state.a), np.asarray(self.state.b)
