@@ -53,7 +53,7 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
             wav_ref, wavphi_ref, rowup_ref, colmain_ref, colhalf_ref,
             coledge_ref, aghost_ref, edges_ref,
             a_out, b_out, ahs_out, bhs_out, edges_out, av_out,
-            *, c_scalars, n_steps: int, parity0: int, unroll2: bool):
+            *, c_scalars, n_steps: int, parity0: int, unroll: int):
     """Run n_steps full solver steps in VMEM.
 
     Mosaic wants >=2-D vector layouts, so the vector/scalar bookkeeping of
@@ -133,27 +133,20 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
         edges_out[:, 0:1] = new_edge_a
         edges_out[:, 1:2] = new_edge_b
 
-    # 2-step manual unroll improves VPU scheduling on large arrays (+37%
-    # at N=100 M=4000) but costs a little on tiny ones — size-gated by the
-    # caller.  int32 bounds throughout: under jax_enable_x64 plain ints
-    # become i64, which Mosaic scalar ops reject.
-    if unroll2:
-        def body(j, _):
-            i = j * np.int32(2)
-            do_step(i)
-            do_step(i + np.int32(1))
-            return np.int32(0)
+    # Manual unroll improves VPU scheduling on large arrays (+37% at
+    # N=100 M=4000 for unroll=2) but costs a little on tiny ones — the
+    # factor is size-gated by the caller.  int32 bounds throughout: under
+    # jax_enable_x64 plain ints become i64, which Mosaic scalar ops reject.
+    def body(j, _):
+        i = j * np.int32(unroll)
+        for k in range(unroll):
+            do_step(i + np.int32(k))
+        return np.int32(0)
 
-        jax.lax.fori_loop(np.int32(0), np.int32(n_steps // 2), body,
-                          np.int32(0))
-        if n_steps % 2:
-            do_step(np.int32(n_steps - 1))
-    else:
-        def body(i, _):
-            do_step(i)
-            return np.int32(0)
-
-        jax.lax.fori_loop(np.int32(0), np.int32(n_steps), body, np.int32(0))
+    jax.lax.fori_loop(np.int32(0), np.int32(n_steps // unroll), body,
+                      np.int32(0))
+    for r in range(n_steps - (n_steps // unroll) * unroll):
+        do_step(np.int32((n_steps // unroll) * unroll + r))
 
 
 def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
@@ -194,7 +187,8 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
 
         kernel = functools.partial(
             _kernel, c_scalars=scalars, n_steps=n_steps,
-            parity0=parity0, unroll2=NHP * MP >= (64 * 1024))
+            parity0=parity0,
+            unroll=4 if NHP * MP >= (64 * 1024) else 1)
         outs = pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 +

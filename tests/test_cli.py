@@ -48,3 +48,13 @@ def test_sweep_cli(tmp_path, monkeypatch):
 
 def test_sweep_cli_rejects_no_axes():
     assert sweep_cli.main(["display=4", *ARGS]) == 1
+
+
+def test_out_file_append_mode(tmp_path, monkeypatch):
+    """o=+file appends (reference: src/boltzmann_cli.c:171-173)."""
+    monkeypatch.chdir(tmp_path)
+    assert cli.main(["display=4", *ARGS, "o=acc.txt"]) == 0
+    n1 = len(open("acc.txt").readlines())
+    assert cli.main(["display=4", *ARGS, "o=+acc.txt"]) == 0
+    n2 = len(open("acc.txt").readlines())
+    assert n2 == 2 * n1
