@@ -37,9 +37,11 @@ def build(impl: str, N=100, M=4000):
         run = make_pallas_runner(c, model, av_enabled=False)
     else:
         step = stencil.make_step_fn(c, av_enabled=False, exact_trig=False)
+        unroll = 4 if jax.default_backend() == "tpu" else 1
 
         def body(s, n_steps):
-            return jax.lax.scan(step, s, None, length=n_steps)[0]
+            return jax.lax.scan(step, s, None, length=n_steps,
+                                unroll=unroll)[0]
 
         run = jax.jit(body, static_argnums=1, donate_argnums=0)
     return model, state, run

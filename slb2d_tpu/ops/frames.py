@@ -57,16 +57,20 @@ class FrameReconstructor:
             F = np.maximum(F, 0)
         return F
 
-    def reconstruct_on_device(self, a, b, m_lo: int, m_hi: int):
+    def reconstruct_on_device(self, a, b, m_lo: int, m_hi: int,
+                              fetch=True):
         """MXU reconstruction for device-resident f32 states: one einsum on
-        the chip, one (X, m) transfer — instead of moving a and b to the
-        host and contracting there.  Used by movie mode on TPU; f64 mode
-        keeps the host path (f64 matmul is emulated on TPU)."""
+        the chip plus the norm row-sum — one small transfer instead of
+        moving a and b to the host.  With fetch=False the device arrays
+        (F, norm_sum) are returned un-materialized so the caller can fetch
+        them from an IO thread, overlapping with the next compute chunk
+        (they are fresh arrays, safe against donation of the state)."""
         import jax
         import jax.numpy as jnp
         if self._dev_fn is None:
             cos_t = jnp.asarray(self.cos_t.astype(np.float32))
             sin_t = jnp.asarray(self.sin_t.astype(np.float32))
+            w_norm = jnp.asarray(self.model.w_norm.astype(np.float32))
 
             def f(a, b):
                 asl = jax.lax.slice_in_dim(a, m_lo, m_hi, axis=1)
@@ -74,12 +78,15 @@ class FrameReconstructor:
                 F = (jnp.dot(cos_t, asl, preferred_element_type=jnp.float32)
                      + jnp.dot(sin_t, bsl,
                                preferred_element_type=jnp.float32))
-                return jnp.maximum(F, 0)
+                return jnp.maximum(F, 0), jnp.dot(a[0], w_norm)
 
             self._dev_fn = (jax.jit(f), (m_lo, m_hi))
         fn, rng = self._dev_fn
         assert rng == (m_lo, m_hi), "one reconstructor per slice range"
-        return np.asarray(fn(a, b))
+        F, norm_sum = fn(a, b)
+        if fetch:
+            return np.asarray(F), np.asarray(norm_sum)
+        return F, norm_sum
 
     def reconstruct_equilibrium(self, m_lo: int, m_hi: int) -> np.ndarray:
         a0 = self.model.a0[:, m_lo:m_hi].astype(f64)

@@ -122,8 +122,18 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
             av_out[1] = av_out[1] + (v_dr - av_out[1]) / count
             av_out[2] = av_out[2] + (v_y - av_out[2]) / count
             av_out[3] = av_out[3] + (m_x - av_out[3]) / count
-            av_out[4] = av_out[4] + cos_av * v_dr * consts.dt
-            av_out[5] = av_out[5] + sin_av * v_dr * consts.dt
+            # Kahan-compensated absorption quadratures: the C code gets a
+            # double intermediate for free (cos() promotion); here the
+            # compensation scalars (slots 6/7, chunk-local) recover the
+            # same accuracy in pure f32
+            y4 = cos_av * v_dr * consts.dt - av_out[6]
+            t4 = av_out[4] + y4
+            av_out[6] = (t4 - av_out[4]) - y4
+            av_out[4] = t4
+            y5 = sin_av * v_dr * consts.dt - av_out[7]
+            t5 = av_out[5] + y5
+            av_out[7] = (t5 - av_out[5]) - y5
+            av_out[5] = t5
             av_out[0] = av_out[0] + 1.0
 
         a_out[:] = a_new

@@ -114,13 +114,16 @@ class ParameterSweep:
                 self._instantaneous(c, new))
             return new, cap
 
+        unroll = 4 if jax.default_backend() == "tpu" else 1
+
         def run_all(consts, states):
             def body(carry, _):
                 st, cap = carry
                 st, cap = jax.vmap(point_step, in_axes=(in_axes, 0))(
                     consts, (st, cap))
                 return (st, cap), None
-            return jax.lax.scan(body, states, None, length=self.n_steps)[0]
+            return jax.lax.scan(body, states, None, length=self.n_steps,
+                                unroll=unroll)[0]
 
         cap0 = {k: jnp.zeros((self.B,), D)
                 for k in ("v_dr", "v_y", "m_x", "norm")}

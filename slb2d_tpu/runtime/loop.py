@@ -104,8 +104,12 @@ class Simulation:
                                         exact_trig=True,
                                         collect_obs=collect)
 
+            # scan unroll=4 is +50% on TPU (VPU scheduling across steps);
+            # kept at 1 on CPU where it only inflates compile time
+            unroll = 4 if jax.default_backend() == "tpu" else 1
+
             def run(state, xs):
-                return jax.lax.scan(step, state, xs)
+                return jax.lax.scan(step, state, xs, unroll=unroll)
 
             self._runners[n_steps] = jax.jit(run, donate_argnums=0)
         return self._runners[n_steps]
@@ -236,18 +240,19 @@ class Simulation:
                 self.out, model, a_prev, b_prev,
                 np.asarray(self.state.av), chunk.t_last, quiet=self.quiet)
         elif chunk.event == "e7":
-            recon, F, norm = self._frame_and_norm()
+            recon, F, norm_thunk = self._frame_and_norm(fetch=False)
             fname = f"frame{self.frame_number:08d}.data"
             self.frame_number += 1
             if not self.quiet:
                 print(f"\nWriting frame {fname}")
 
-            def write(fname=fname, F=F, norm=norm, t=chunk.t_last):
+            def write(fname=fname, F=F, norm_thunk=norm_thunk,
+                      t=chunk.t_last):
                 with open(fname, "w") as fh:
                     writers.write_frame(fh, model, recon, None, None, t,
-                                        F=F, norm=norm)
-            # overlap frame IO with the next chunk's device compute;
-            # a single worker preserves file order
+                                        F=np.asarray(F), norm=norm_thunk())
+            # overlap frame fetch + IO with the next chunk's device
+            # compute; a single worker preserves file order
             self._io_pool_submit(write)
         elif chunk.event == "e9":
             recon, F, norm = self._frame_and_norm()
@@ -295,20 +300,34 @@ class Simulation:
     def _host_ab(self):
         return np.asarray(self.state.a), np.asarray(self.state.b)
 
-    def _frame_and_norm(self):
+    def _frame_and_norm(self, fetch=True):
         """Reconstruct the current frame (m=1..M+1) and norm, on-device
-        (MXU einsum, one small transfer) for f32 on TPU, else on host."""
+        (MXU einsum, one small transfer) for f32 on TPU, else on host.
+        With fetch=False the returned F/norm may be lazy device values;
+        norm is a thunk so the (cheap) final scaling happens at write
+        time in the IO thread."""
         model = self.model
         recon = self._get_recon()
         if (model.np_dtype == np.float32
                 and jax.default_backend() == "tpu"):
-            F = recon.reconstruct_on_device(self.state.a, self.state.b,
-                                            1, model.M + 2)
-            norm = observables.eval_norm(model, np.asarray(self.state.a[0]))
-            return recon, F, norm
+            F, norm_sum = recon.reconstruct_on_device(
+                self.state.a, self.state.b, 1, model.M + 2, fetch=False)
+            D = model.np_dtype
+            from ..constants import PI
+
+            def norm_value():
+                s = D(np.asarray(norm_sum))
+                return D(np.float64(s)
+                         * (2 * PI * np.sqrt(np.float64(model.alpha))))
+            if fetch:
+                return recon, np.asarray(F), norm_value()
+            return recon, F, norm_value
         a, b = self._host_ab()
         F = recon.reconstruct(a, b, 1, model.M + 2)
-        return recon, F, observables.eval_norm(model, a)
+        norm = observables.eval_norm(model, a)
+        if fetch:
+            return recon, F, norm
+        return recon, F, (lambda: norm)
 
     def _check_finite(self):
         av = np.asarray(self.state.av)
