@@ -111,3 +111,28 @@ def test_schedule_chunk_boundaries_exact():
                  for k in small[0].xs}
     for k in cat_big:
         np.testing.assert_array_equal(cat_big[k], cat_small[k], err_msg=k)
+
+
+def test_display77_batched_equals_per_emission(tmp_path, monkeypatch):
+    """The batched on-device emission path and the per-emission chunk-cut
+    path (used by the pallas engine) must produce identical display-77
+    output."""
+    # f64: device-scan vs host-numpy summation orders agree to 1e-15
+    # there, so any tolerance hit is a logic bug, not float noise
+    cfg = SimConfig(**{**BASE, "display": 77, "omega": 10.0, "dtype": "f64",
+                       "t_start": 0.15, "out_file": "batched.txt"})
+    monkeypatch.chdir(tmp_path)
+    Simulation(cfg).run()
+
+    cfg2 = cfg.replace(out_file="cut.txt")
+    sim = Simulation(cfg2)
+    monkeypatch.setattr(Simulation, "_batched_emission", lambda self: False)
+    sim.run()
+
+    batched = [l for l in open("batched.txt") if not l.startswith("#")]
+    cut = [l for l in open("cut.txt") if not l.startswith("#")]
+    assert len(batched) == len(cut) > 5
+    for b, c_ in zip(batched, cut):
+        bv = np.array(b.split(), float)
+        cv = np.array(c_.split(), float)
+        np.testing.assert_allclose(bv, cv, rtol=1e-12, atol=1e-15)
