@@ -68,3 +68,30 @@ def test_profiler_trace_smoke(tmp_path, monkeypatch):
     files = [os.path.join(r, f)
              for r, _, fs in os.walk(tmp_path / "trace") for f in fs]
     assert files, "profiler trace produced no files"
+
+
+def test_frame_device_path_matches_host():
+    import jax
+    from slb2d_tpu.config import SimConfig
+    from slb2d_tpu.models.superlattice import SuperlatticeModel
+    from slb2d_tpu.ops import stencil
+    from slb2d_tpu.ops.frames import FrameReconstructor
+
+    cfg = SimConfig(display=7, E_dc=1.0, E_omega=2.0, omega=10.0, mu=1.0,
+                    alpha=0.9495, n_harmonics=8, phi_y_min=-5.0,
+                    phi_y_max=5.0, B=0.1, t_start=0.1, g_grid=64, dt=1e-3,
+                    quiet=True)
+    model = SuperlatticeModel(cfg)
+    c = stencil.consts_from_model(model)
+    s = stencil.bootstrap_state(c, model)
+    r = FrameReconstructor(model)
+    F_host = r.reconstruct(np.asarray(s.a), np.asarray(s.b), 1, model.M + 2)
+    F_dev, norm_sum = r.reconstruct_on_device(s.a, s.b, 1, model.M + 2)
+    np.testing.assert_allclose(F_dev, F_host, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(
+        float(norm_sum), float(np.dot(np.asarray(s.a)[0], model.w_norm)),
+        rtol=1e-6)
+    # lazy variant returns device values
+    F_lazy, ns_lazy = r.reconstruct_on_device(s.a, s.b, 1, model.M + 2,
+                                              fetch=False)
+    np.testing.assert_array_equal(np.asarray(F_lazy), F_dev)
