@@ -183,6 +183,11 @@ def open_out(cfg: SimConfig) -> IO[str]:
     return open(cfg.out_file, "w")
 
 
+# Per-stream leftover tokens: fscanf treats input as one token stream, so
+# "E_dc 1.5 0.5 exit" on a single line must leave "exit" for the next scan.
+_repl_leftovers: dict = {}
+
+
 def scan_for_new_parameters(stream: IO[str]):
     """Read one parameter mutation from the interactive parameter server.
 
@@ -192,13 +197,9 @@ def scan_for_new_parameters(stream: IO[str]):
     where name is one of REPL_MUTABLE (unknown names are accepted but
     mutate nothing, as in the reference).
     """
-    toks: list[str] = []
+    toks = _repl_leftovers.pop(id(stream), [])
     while True:
-        line = stream.readline()
-        if line == "":
-            return None  # EOF behaves like exit
-        toks.extend(line.split())
-        if len(toks) >= 1 and toks[0] == "exit":
+        if toks and toks[0] == "exit":
             return None
         while len(toks) >= 3:
             name, sval, stime = toks[0], toks[1], toks[2]
@@ -208,4 +209,9 @@ def scan_for_new_parameters(stream: IO[str]):
                 timeout = float(stime)
             except ValueError:
                 continue  # reference fscanf would keep scanning
+            _repl_leftovers[id(stream)] = toks
             return (name if name in REPL_MUTABLE else None, value, timeout)
+        line = stream.readline()
+        if line == "":
+            return None  # EOF behaves like exit
+        toks.extend(line.split())

@@ -26,22 +26,23 @@ def _load():
         os.path.abspath(__file__))))
     for cand in (os.path.join(here, "native", "libslbio.so"),
                  os.path.join(os.path.dirname(__file__), "libslbio.so")):
-        if os.path.exists(cand):
-            try:
-                lib = ctypes.CDLL(cand)
-                lib.slb_write_xy_rows.argtypes = [
-                    ctypes.c_char_p,
-                    ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-                    ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-                    ctypes.POINTER(ctypes.c_double)]
-                lib.slb_write_xy_rows.restype = ctypes.c_int
-                lib.slb_count_steps_f32.argtypes = [
-                    ctypes.c_float, ctypes.c_float, ctypes.c_float]
-                lib.slb_count_steps_f32.restype = ctypes.c_longlong
-                _LIB = lib
-            except OSError:
-                _LIB = None
+        if not os.path.exists(cand):
+            continue
+        try:
+            lib = ctypes.CDLL(cand)
+            lib.slb_write_xy_rows.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double)]
+            lib.slb_write_xy_rows.restype = ctypes.c_int
+            lib.slb_count_steps_f32.argtypes = [
+                ctypes.c_float, ctypes.c_float, ctypes.c_float]
+            lib.slb_count_steps_f32.restype = ctypes.c_longlong
+            _LIB = lib
             break
+        except OSError:
+            continue   # unloadable copy: try the next candidate
     return _LIB
 
 

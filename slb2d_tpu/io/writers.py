@@ -48,8 +48,12 @@ def _echo(msg: str, out):
         sys.stdout.flush()
 
 
-def write_display4(out, model, cfg, a, b, av_data, *, quiet=False):
-    """Final observable line (src/boltzmann_c_solver.c:236-268)."""
+def write_display4(out, model, cfg, a, b, av_data, *, quiet=False,
+                   t_start=None):
+    """Final observable line (src/boltzmann_c_solver.c:236-268).
+
+    t_start: the LIVE averaging start (REPL mutations move it, reference
+    :275, and the header prints the moved value); defaults to cfg's."""
     norm = observables.eval_norm(model, a)
     obs = observables.scaled_observables(model, a, b, av_data, bounds="d4",
                                          quadrature_denom=model.T)
@@ -61,7 +65,8 @@ def write_display4(out, model, cfg, a, b, av_data, *, quiet=False):
         % (cfg.display, f20(model.E_dc), f20(model.E_omega), f20(model.omega),
            f20(model.mu), f20(model.alpha), model.N, f20(model.phi_y_min),
            f20(model.phi_y_max), f20(model.B),
-           f20(model.np_dtype(cfg.t_start)), f20(model.dt), model.M))
+           f20(model.np_dtype(cfg.t_start if t_start is None else t_start)),
+           f20(model.dt), model.M))
     out.write(HEADER_D4)
     d = obs["av"]
     out.write(" ".join([

@@ -131,11 +131,11 @@ class SuperlatticeModel:
         # ---- observable weight vectors (zero outside each loop's bounds) ----
         dPhi = self.np_dtype(self.dPhi)
         in_av = (cols >= 1) & (cols < self.TM)        # av(): m=1..M (:417)
-        in_norm = (cols >= 1) & (cols < self.M + 1)   # eval_norm: m=1..M (:291)
         in_d4 = (cols >= 1) & (cols < self.M)         # display-4 inst: m=1..M-1 (:241)
         self.w_av = np.where(in_av, dPhi, 0).astype(self.np_dtype)
         self.w_av_phi = (self.w_av * self.phi).astype(self.np_dtype)
-        self.w_norm = np.where(in_norm, dPhi, 0).astype(self.np_dtype)
+        # eval_norm's bounds m=1..M (:291) coincide with av()'s — alias
+        self.w_norm = self.w_av
         self.w_d4 = np.where(in_d4, dPhi, 0).astype(self.np_dtype)
         self.w_d4_phi = (self.w_d4 * self.phi).astype(self.np_dtype)
 

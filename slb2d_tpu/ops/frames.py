@@ -72,13 +72,19 @@ class FrameReconstructor:
             sin_t = jnp.asarray(self.sin_t.astype(np.float32))
             w_norm = jnp.asarray(self.model.w_norm.astype(np.float32))
 
+            # Precision.HIGHEST: the TPU MXU's default one-pass matmul
+            # truncates f32 operands to bf16, which would cost frame values
+            # and the printed norm ~3 significant digits
+            hp = jax.lax.Precision.HIGHEST
+
             def f(a, b):
                 asl = jax.lax.slice_in_dim(a, m_lo, m_hi, axis=1)
                 bsl = jax.lax.slice_in_dim(b, m_lo, m_hi, axis=1)
-                F = (jnp.dot(cos_t, asl, preferred_element_type=jnp.float32)
-                     + jnp.dot(sin_t, bsl,
+                F = (jnp.dot(cos_t, asl, precision=hp,
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(sin_t, bsl, precision=hp,
                                preferred_element_type=jnp.float32))
-                return jnp.maximum(F, 0), jnp.dot(a[0], w_norm)
+                return jnp.maximum(F, 0), jnp.dot(a[0], w_norm, precision=hp)
 
             self._dev_fn = (jax.jit(f), (m_lo, m_hi))
         fn, rng = self._dev_fn

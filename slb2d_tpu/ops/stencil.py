@@ -47,7 +47,8 @@ class State(NamedTuple):
     b_hs: jax.Array
     hs_edge_a: jax.Array  # (NHP,) stale column M+1 for the next hs write
     hs_edge_b: jax.Array  # (NHP,)
-    av: jax.Array       # (6,) running observables (av_data, :413-437)
+    av: jax.Array       # (8,) running observables (av_data, :413-437) +
+                        # Kahan compensations for av[4]/av[5] in [6]/[7]
     t: jax.Array        # scalar, loop time (f32 in reference mode)
     step: jax.Array     # int32 number of completed steps
 
@@ -169,7 +170,7 @@ def bootstrap_state(c: StencilConsts, model) -> State:
         a=a, b=b, a_hs=a_hs, b_hs=b_hs,
         hs_edge_a=jnp.zeros((a.shape[0],), dtype),
         hs_edge_b=jnp.zeros((a.shape[0],), dtype),
-        av=jnp.zeros((6,), dtype),
+        av=jnp.zeros((8,), dtype),
         t=jnp.asarray(dtype(0)),
         step=jnp.asarray(0, jnp.int32),
     )
@@ -180,13 +181,16 @@ def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av,
     """Running observable averages (reference: src/boltzmann_c_solver.c:413-437).
 
     av[0]: sample count; av[1..3]: incremental means of v_dr, v_y, m/m_x;
-    av[4], av[5]: absorption quadratures Sum cos/sin(w t) * v_dr * dt.
-    The reference computes the quadrature products in double (C promotes
-    through cos()) and stores into float32 — reproduced via f64 here.
+    av[4], av[5]: absorption quadratures Sum cos/sin(w t) * v_dr * dt with
+    Kahan compensation carried in av[6], av[7].  The reference gets a
+    double intermediate for free (C promotes through cos()); compensated
+    summation recovers that accuracy in pure f32, independent of the
+    process-global x64 setting.  f64_quadrature is retained for API
+    compatibility and ignored (Kahan subsumes it).
     """
+    del f64_quadrature
     if sum_m is None:
         sum_m = lambda v: jnp.sum(v, axis=-1)
-    dtype = av.dtype
     count = av[0] + 1
     v_dr = sum_m(b_new[1] * c.w_av)
     v_y = sum_m(a_new[0] * c.w_av_phi)
@@ -194,21 +198,13 @@ def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av,
     av1 = av[1] + (v_dr - av[1]) / count
     av2 = av[2] + (v_y - av[2]) / count
     av3 = av[3] + (m_x - av[3]) / count
-    if f64_quadrature is None:
-        f64_quadrature = (dtype == jnp.float32
-                          and jax.config.jax_enable_x64)
-    if f64_quadrature:
-        vd64 = v_dr.astype(jnp.float64)
-        av4 = (av[4].astype(jnp.float64)
-               + cos_av.astype(jnp.float64) * vd64 * c.dt.astype(jnp.float64)
-               ).astype(dtype)
-        av5 = (av[5].astype(jnp.float64)
-               + sin_av.astype(jnp.float64) * vd64 * c.dt.astype(jnp.float64)
-               ).astype(dtype)
-    else:
-        av4 = av[4] + cos_av * v_dr * c.dt
-        av5 = av[5] + sin_av * v_dr * c.dt
-    return jnp.stack([av[0] + 1, av1, av2, av3, av4, av5])
+    y4 = cos_av * v_dr * c.dt - av[6]
+    t4 = av[4] + y4
+    c4 = (t4 - av[4]) - y4
+    y5 = sin_av * v_dr * c.dt - av[7]
+    t5 = av[5] + y5
+    c5 = (t5 - av[5]) - y5
+    return jnp.stack([av[0] + 1, av1, av2, av3, t4, t5, c4, c5])
 
 
 def full_step(c: StencilConsts, state: State, trig, do_av, *,

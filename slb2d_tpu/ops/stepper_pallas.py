@@ -193,7 +193,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
         edges = jnp.zeros((NHP, 128), D)
         edges = edges.at[:, 0].set(state.hs_edge_a)
         edges = edges.at[:, 1].set(state.hs_edge_b)
-        av = jnp.zeros((8,), D).at[:6].set(state.av)
+        av = jnp.asarray(state.av)   # (8,) incl. Kahan compensations
 
         kernel = functools.partial(
             _kernel, c_scalars=scalars, n_steps=n_steps,
@@ -231,7 +231,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
         t_next = xs_table[-1, 7] + D(c.dt)
         return stencil.State(
             a=a, b=b, a_hs=ahs, b_hs=bhs,
-            hs_edge_a=edges_o[:, 0], hs_edge_b=edges_o[:, 1], av=av_o[:6],
+            hs_edge_a=edges_o[:, 0], hs_edge_b=edges_o[:, 1], av=av_o,
             t=t_next, step=state.step + n_steps)
 
     class Runner:

@@ -104,7 +104,11 @@ class ParameterSweep:
         def point_step(c, carry):
             st, cap = carry
             trig = stencil.device_trig(c, st.t)
-            do_av = (st.t >= c.t_start) & (st.t < c.t_end)
+            # E_omega > 0 gates averaging exactly as the reference
+            # (src/boltzmann_c_solver.c:188): a dc-only point leaves all
+            # period averages at zero
+            do_av = ((c.E_omega > 0) & (st.t >= c.t_start)
+                     & (st.t < c.t_end))
             new = stencil.full_step(c, st, trig, do_av)
             # capture loop-exit instantaneous observables: the last step
             # whose loop t is still < t_max overwrites the capture

@@ -100,8 +100,10 @@ class Simulation:
     def _runner(self, n_steps: int):
         if n_steps not in self._runners:
             collect = self._batched_emission()
+            # exact-time=0 evaluates trig on device from the carried t
+            # (fast mode); scheduling/emission cadence stays host-exact
             step = stencil.make_step_fn(self.c, av_enabled=True,
-                                        exact_trig=True,
+                                        exact_trig=self.cfg.exact_time,
                                         collect_obs=collect)
 
             # scan unroll=4 is +50% on TPU (VPU scheduling across steps);
@@ -160,7 +162,8 @@ class Simulation:
                 a, b = self._host_ab()
                 writers.write_display4(self.out, self.model, cfg, a, b,
                                        np.asarray(self.state.av),
-                                       quiet=self.quiet)
+                                       quiet=self.quiet,
+                                       t_start=self.t_start)
 
             if repl_stream is None:
                 break
@@ -365,7 +368,7 @@ class Simulation:
         self.t_max = float(D(D(self.t_start) + old_T))
         self.t0 = float(D(t + model.dt))
         self.state = self.state._replace(
-            av=np.zeros(6, model.np_dtype),
+            av=np.zeros(8, model.np_dtype),
             t=model.np_dtype(self.t0))
         if not self.quiet:
             print(f"# t_max = {writers.f20(D(self.t_max))}")

@@ -41,7 +41,7 @@ cp frame00000001.data d7_frame1_f64.txt
 cp frame00000002.data d7_frame2_f64.txt
 
 # 7. parameter-server session (f64): display=4, two mutations then exit
-printf 'E_dc 1.5 0.5\nB 0.2 0.5\nmu 1.3 0.3\nexit\n' | \
+printf 'E_dc 1.5 0.5\nB 0.2 0.5\nmu 1.3 0.3\nomega 12.0 0.3\nexit\n' | \
   "$BIN/boltzmann_c_solver_f64" display=4 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.5 read-from=stdin o=repl_f64.txt >/dev/null 2>&1 || true
 
 gzip -nf d3_tiny_f64.txt d7_frame1_f64.txt d7_frame2_f64.txt

@@ -37,9 +37,11 @@ sed -i 's/calloc(5, sizeof(ffloat))/calloc(6, sizeof(ffloat))/' \
 # The C driver's parameter server never applies mutations (missing
 # load_data(), unlike the GPU driver at src/boltzmann_solver.c:391, so the
 # stale locals keep driving the dynamics — SURVEY-class defect, documented
-# as docs/DEVIATIONS.md D11).  The staged oracle gets the GPU behavior so
-# REPL sessions are pinnable.
-sed -i 's|memset(av_data, 0, 6\*sizeof(ffloat)); // clear averaging data|load_data(); memset(av_data, 0, 6*sizeof(ffloat)); // clear averaging data|' \
+# as docs/DEVIATIONS.md D11).  The staged oracle gets the GPU behavior:
+# load_data() must run BEFORE the T re-derivation (the GPU reads
+# host_omega, which scan_for_new_parameters already updated,
+# src/boltzmann_solver.c:390), so an omega mutation yields the NEW period.
+sed -i 's|^    T=omega>0?(2\*PI/omega):0;|    load_data(); T=omega>0?(2*PI/omega):0;|' \
   "$STAGE/boltzmann_c_solver.c"
 gcc -std=gnu99 -O3 -m64 \
   -I"$HERE/gsl_shim" \

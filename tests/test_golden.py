@@ -134,14 +134,23 @@ def test_display7_frames_vs_reference(tmp_path, monkeypatch):
 
 
 def test_parameter_server_session_vs_reference(tmp_path, monkeypatch):
-    """Live parameter mutations (E_dc, B, then mu) must continue from the same
-    state and reproduce all three display-4 lines."""
+    """Live parameter mutations (E_dc, B, mu, then omega — the last locks
+    the GPU driver's T-recompute-from-new-omega semantics) must continue
+    from the same state and reproduce all five display-4 lines."""
     gold = d4_values(read_gold("repl_f64.txt"))
-    mine_text = run_sim(tmp_path, monkeypatch, display=4, dtype="f64",
-                        n_harmonics=8, g_grid=24, t_start=0.5, omega=10.0,
-                        read_from="stdin",
-                        repl_input="E_dc 1.5 0.5\nB 0.2 0.5\nmu 1.3 0.3\nexit\n")
+    mine_text = run_sim(
+        tmp_path, monkeypatch, display=4, dtype="f64",
+        n_harmonics=8, g_grid=24, t_start=0.5, omega=10.0,
+        read_from="stdin",
+        repl_input="E_dc 1.5 0.5\nB 0.2 0.5\nmu 1.3 0.3\n"
+                   "omega 12.0 0.3\nexit\n")
     mine = d4_values(mine_text)
-    assert len(gold) == len(mine) == 4
+    assert len(gold) == len(mine) == 5
     for g, m in zip(gold, mine):
         np.testing.assert_allclose(m, g, rtol=1e-8, atol=1e-12)
+    # headers must track live mutations (t-max moves with t+timeout, mu
+    # changes the printed value) byte-for-byte
+    gh = [l for l in read_gold("repl_f64.txt").splitlines()
+          if l.startswith("# display=")]
+    mh = [l for l in mine_text.splitlines() if l.startswith("# display=")]
+    assert gh == mh

@@ -136,3 +136,17 @@ def test_display77_batched_equals_per_emission(tmp_path, monkeypatch):
         bv = np.array(b.split(), float)
         cv = np.array(c_.split(), float)
         np.testing.assert_allclose(bv, cv, rtol=1e-12, atol=1e-15)
+
+
+def test_repl_same_line_exit(tmp_path, monkeypatch):
+    """fscanf token-stream semantics: a mutation and 'exit' on ONE line
+    must both be honored (the mutation runs, then the session ends)."""
+    import io as _io
+    monkeypatch.chdir(tmp_path)
+    cfg = SimConfig(**{**BASE, "omega": 10.0, "t_start": 0.1,
+                       "read_from": "stdin", "out_file": "r.txt"})
+    sim = Simulation(cfg)
+    sim.run(repl_stream=_io.StringIO("E_dc 1.5 0.1 exit\n"))
+    lines = [l for l in open("r.txt") if not l.startswith("#")]
+    assert len(lines) == 2
+    assert float(lines[1].split()[0]) == 1.5

@@ -76,7 +76,7 @@ def test_steps_match_transcription(n_steps):
     np.testing.assert_allclose(unpad(model, state.b), oracle.b[cur], **tol)
     np.testing.assert_allclose(unpad(model, state.a_hs), oracle.a[ch], **tol)
     np.testing.assert_allclose(unpad(model, state.b_hs), oracle.b[ch], **tol)
-    np.testing.assert_allclose(np.asarray(state.av), oracle.av_data,
+    np.testing.assert_allclose(np.asarray(state.av)[:6], oracle.av_data,
                                rtol=2e-5, atol=1e-9)
 
 
