@@ -46,19 +46,28 @@ def _pl_shift(arr, dn: int, dm: int):
     return out
 
 
+# physics-scalar packing order for the SMEM params vector
+SCALAR_FIELDS = ("E_dc", "E_omega", "omega", "B", "dt", "nu", "nu2",
+                 "nu_tilde", "bdt", "t_start", "t_end")
+
+
 def _kernel(xs_ref,                     # SMEM (K, 8)
             av_ref,                     # SMEM (8,)
+            params_ref,                 # SMEM (16,) physics scalars
             a_ref, b_ref, ahs_ref, bhs_ref,       # VMEM states (aliased out)
             a0_ref, phi_ref, nf_ref, nge2_ref, wn_ref,
             wav_ref, wavphi_ref, rowup_ref, colmain_ref, colhalf_ref,
             coledge_ref, aghost_ref, edges_ref,
             a_out, b_out, ahs_out, bhs_out, edges_out, av_out,
-            *, c_scalars, n_steps: int, parity0: int, unroll: int):
+            *, n_steps: int, parity0: int, unroll: int):
     """Run n_steps full solver steps in VMEM.
 
     Mosaic wants >=2-D vector layouts, so the vector/scalar bookkeeping of
     stencil.full_step is restated here in 2-D/SMEM form; the stencil math
-    itself is stencil.apply_half_step, shared verbatim.
+    itself is stencil.apply_half_step, shared verbatim.  Physics scalars
+    arrive in SMEM (params_ref, SCALAR_FIELDS order), so one compiled
+    kernel serves every parameter set of a given shape — the REPL re-uses
+    it instead of recompiling per mutation.
     """
     # move state into the aliased output refs once; av into SMEM out
     a_out[:] = a_ref[:]
@@ -76,7 +85,7 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
         col_main=colmain_ref[:] > 0, col_half=colhalf_ref[:] > 0,
         w_av=wav_ref[:], w_av_phi=wavphi_ref[:],
         col_edge=coledge_ref[:] > 0,
-        **c_scalars)
+        **{name: params_ref[i] for i, name in enumerate(SCALAR_FIELDS)})
     emask = consts.col_edge                    # (1, MP) bool
     dtype = a_out.dtype
     zero = jnp.zeros((), dtype)
@@ -171,10 +180,9 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
         raise ValueError("pallas stepper is float32-only (TPU native)")
     NHP, MP = model.NHP, model.MP
 
-    scalars = dict(
-        E_dc=D(c.E_dc), E_omega=D(c.E_omega), omega=D(c.omega), B=D(c.B),
-        dt=D(c.dt), nu=D(c.nu), nu2=D(c.nu2), nu_tilde=D(c.nu_tilde),
-        bdt=D(c.bdt), t_start=D(c.t_start), t_end=D(c.t_end))
+    params = np.zeros(16, D)
+    for i, name in enumerate(SCALAR_FIELDS):
+        params[i] = D(getattr(c, name))
 
     # float (rather than bool) masks: i1 arrays are awkward in VMEM
     f_masks = dict(
@@ -188,20 +196,20 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
     wav2 = np.asarray(c.w_av, D).reshape(1, MP)
     wavphi2 = np.asarray(c.w_av_phi, D).reshape(1, MP)
 
-    @functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=0)
-    def run(state: stencil.State, xs_table, n_steps: int, parity0: int):
+    @functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=0)
+    def run(state: stencil.State, xs_table, params_arg, n_steps: int,
+            parity0: int):
         edges = jnp.zeros((NHP, 128), D)
         edges = edges.at[:, 0].set(state.hs_edge_a)
         edges = edges.at[:, 1].set(state.hs_edge_b)
         av = jnp.asarray(state.av)   # (8,) incl. Kahan compensations
 
         kernel = functools.partial(
-            _kernel, c_scalars=scalars, n_steps=n_steps,
-            parity0=parity0,
+            _kernel, n_steps=n_steps, parity0=parity0,
             unroll=4 if NHP * MP >= (64 * 1024) else 1)
         outs = pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 +
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 +
                       [pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -213,11 +221,11 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
                 jax.ShapeDtypeStruct((NHP, 128), D),  # edges
                 jax.ShapeDtypeStruct((8,), D),        # av (SMEM)
             ],
-            input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 18: 4},
+            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 19: 4},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(xs_table, av,
+        )(xs_table, av, params_arg,
           state.a, state.b, state.a_hs, state.b_hs,
           jnp.asarray(c.a0), phi2, jnp.asarray(c.n_float),
           jnp.asarray(c.n_ge2), jnp.asarray(c.w_n), wav2,
@@ -246,7 +254,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
         def __call__(self, state, n_steps):
             xs = build_xs_table(model, c, self.t0, self.step0, n_steps,
                                 av_enabled=av_enabled, exact=exact_trig)
-            out = run(state, xs, n_steps, self.step0 % 2)
+            out = run(state, xs, params, n_steps, self.step0 % 2)
             self.step0 += n_steps
             self.t0 = float(D(xs[-1, 7] + D(c.dt)))
             return out
@@ -264,7 +272,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             xs[:, 5] = xs_dict["sin_av"]
             xs[:, 6] = xs_dict["do_av"].astype(D)
             xs[:, 7] = xs_dict["t"]
-            return run(state, xs, n, parity0)
+            return run(state, xs, params, n, parity0)
 
     return Runner()
 
