@@ -37,7 +37,7 @@ def build(impl: str, N=100, M=4000):
         run = make_pallas_runner(c, model, av_enabled=False)
     else:
         step = stencil.make_step_fn(c, av_enabled=False, exact_trig=False)
-        unroll = 4 if jax.default_backend() == "tpu" else 1
+        unroll = stencil.default_scan_unroll()
 
         def body(s, n_steps):
             return jax.lax.scan(step, s, None, length=n_steps,

@@ -183,9 +183,26 @@ def open_out(cfg: SimConfig) -> IO[str]:
     return open(cfg.out_file, "w")
 
 
-# Per-stream leftover tokens: fscanf treats input as one token stream, so
-# "E_dc 1.5 0.5 exit" on a single line must leave "exit" for the next scan.
-_repl_leftovers: dict = {}
+# fscanf treats input as one token stream, so "E_dc 1.5 0.5 exit" on a
+# single line must leave "exit" for the next scan.  Leftovers are stored
+# on the stream object itself (falling back to a keyed dict for exotic
+# streams that reject attributes).
+_repl_leftovers_fallback: dict = {}
+_LEFTOVER_ATTR = "_slb2d_repl_leftovers"
+
+
+def _get_leftovers(stream) -> list:
+    toks = getattr(stream, _LEFTOVER_ATTR, None)
+    if toks is None:
+        toks = _repl_leftovers_fallback.pop(id(stream), [])
+    return list(toks)
+
+
+def _set_leftovers(stream, toks: list):
+    try:
+        setattr(stream, _LEFTOVER_ATTR, list(toks))
+    except AttributeError:
+        _repl_leftovers_fallback[id(stream)] = list(toks)
 
 
 def scan_for_new_parameters(stream: IO[str]):
@@ -197,11 +214,12 @@ def scan_for_new_parameters(stream: IO[str]):
     where name is one of REPL_MUTABLE (unknown names are accepted but
     mutate nothing, as in the reference).
     """
-    toks = _repl_leftovers.pop(id(stream), [])
+    toks = _get_leftovers(stream)
     while True:
         if toks and toks[0] == "exit":
+            _set_leftovers(stream, [])
             return None
-        while len(toks) >= 3:
+        if len(toks) >= 3:
             name, sval, stime = toks[0], toks[1], toks[2]
             toks = toks[3:]
             try:
@@ -209,7 +227,7 @@ def scan_for_new_parameters(stream: IO[str]):
                 timeout = float(stime)
             except ValueError:
                 continue  # reference fscanf would keep scanning
-            _repl_leftovers[id(stream)] = toks
+            _set_leftovers(stream, toks)
             return (name if name in REPL_MUTABLE else None, value, timeout)
         line = stream.readline()
         if line == "":

@@ -288,7 +288,8 @@ def make_step_fn(c: StencilConsts, *, av_enabled: bool, exact_trig: bool,
     (bit-replicating the C solver's double-evaluated cos of float args).
     exact_trig=False: trig is evaluated on device from the carried t and
     do_av becomes the traced condition t >= t_start.
-    collect_obs=True: the scan emits an (11,) observable record per step
+    collect_obs=True: the scan emits a (13,) observable record per step
+    (5 leading raw sums/t + the 8-wide av carry)
     (batched display-77 emission — no host sync per emission).
     """
     if exact_trig:
@@ -301,7 +302,21 @@ def make_step_fn(c: StencilConsts, *, av_enabled: bool, exact_trig: bool,
     else:
         def step(state: State, xs):
             trig = device_trig(c, state.t)
-            do_av = ((state.t >= c.t_start) & (state.t < c.t_end)
+            # fast mode must reproduce the schedule's averaging gate
+            # itself: av only when the drive has an ac component
+            # (reference src/boltzmann_c_solver.c:188) and inside the
+            # [t_start, t_end) window; display policy arrives via
+            # av_enabled (static)
+            do_av = ((c.E_omega > 0) & (state.t >= c.t_start)
+                     & (state.t < c.t_end)
                      ) if av_enabled else jnp.asarray(False)
-            return full_step(c, state, trig, do_av), None
+            new = full_step(c, state, trig, do_av)
+            ys = emission_record(c, state, new) if collect_obs else None
+            return new, ys
     return step
+
+
+def default_scan_unroll() -> int:
+    """Scan unroll factor: 4 on TPU (+50% VPU scheduling), 1 elsewhere
+    (unrolling only inflates CPU compile times)."""
+    return 4 if jax.default_backend() == "tpu" else 1

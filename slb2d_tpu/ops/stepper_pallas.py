@@ -132,9 +132,9 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
             av_out[2] = av_out[2] + (v_y - av_out[2]) / count
             av_out[3] = av_out[3] + (m_x - av_out[3]) / count
             # Kahan-compensated absorption quadratures: the C code gets a
-            # double intermediate for free (cos() promotion); here the
-            # compensation scalars (slots 6/7, chunk-local) recover the
-            # same accuracy in pure f32
+            # double intermediate for free (cos() promotion); the
+            # compensation scalars (av slots 6/7, carried across chunks in
+            # State.av) recover the same accuracy in pure f32
             y4 = cos_av * v_dr * consts.dt - av_out[6]
             t4 = av_out[4] + y4
             av_out[6] = (t4 - av_out[4]) - y4
@@ -245,18 +245,31 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
     class Runner:
         """Stateful wrapper tracking step parity and loop t host-side so no
         per-chunk device scalar fetches are needed (each costs a tunnel
-        round trip)."""
+        round trip).  Physics scalars live in an SMEM vector, so
+        update_consts swaps parameter sets WITHOUT recompiling — the
+        parameter-server REPL reuses the compiled kernel across mutations
+        (a0/bdt are frozen there per docs/DEVIATIONS.md D11, and
+        masks/shapes never change)."""
 
         def __init__(self):
             self.step0 = 0
             self.t0 = 0.0
+            self.c = c
+            self.params = params
+
+        def update_consts(self, c_new):
+            self.c = c_new
+            p = np.zeros(16, D)
+            for i, name in enumerate(SCALAR_FIELDS):
+                p[i] = D(getattr(c_new, name))
+            self.params = p
 
         def __call__(self, state, n_steps):
-            xs = build_xs_table(model, c, self.t0, self.step0, n_steps,
+            xs = build_xs_table(model, self.c, self.t0, self.step0, n_steps,
                                 av_enabled=av_enabled, exact=exact_trig)
-            out = run(state, xs, params, n_steps, self.step0 % 2)
+            out = run(state, xs, self.params, n_steps, self.step0 % 2)
             self.step0 += n_steps
-            self.t0 = float(D(xs[-1, 7] + D(c.dt)))
+            self.t0 = float(D(xs[-1, 7] + D(self.c.dt)))
             return out
 
         def run_xs(self, state, xs_dict, parity0):
@@ -272,7 +285,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             xs[:, 5] = xs_dict["sin_av"]
             xs[:, 6] = xs_dict["do_av"].astype(D)
             xs[:, 7] = xs_dict["t"]
-            return run(state, xs, params, n, parity0)
+            return run(state, xs, self.params, n, parity0)
 
     return Runner()
 

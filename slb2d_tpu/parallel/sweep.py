@@ -118,7 +118,7 @@ class ParameterSweep:
                 self._instantaneous(c, new))
             return new, cap
 
-        unroll = 4 if jax.default_backend() == "tpu" else 1
+        unroll = stencil.default_scan_unroll()
 
         def run_all(consts, states):
             def body(carry, _):

@@ -26,6 +26,11 @@ def load_state(path: str, model):
     for field in State._fields:
         arr = data[f"state_{field}"]
         kw[field] = arr
+    # pre-Kahan checkpoints carried av as (6,); slots 6/7 are compensation
+    # terms that legitimately start at zero
+    if kw["av"].shape == (6,):
+        kw["av"] = np.concatenate([kw["av"],
+                                   np.zeros(2, kw["av"].dtype)])
     st = State(**kw)
     if st.a.shape != (model.NHP, model.MP):
         raise ValueError(

@@ -288,17 +288,22 @@ class Simulation:
             self._steps_since_progress = 0
 
     _io_pool = None
+    _io_futures: list = []
 
     def _io_pool_submit(self, fn):
         if self._io_pool is None:
             self._io_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1)
-        self._io_pool.submit(fn)
+            self._io_futures = []
+        self._io_futures.append(self._io_pool.submit(fn))
 
     def _drain_io(self):
         if self._io_pool is not None:
             self._io_pool.shutdown(wait=True)
             self._io_pool = None
+            futures, self._io_futures = self._io_futures, []
+            for f in futures:
+                f.result()   # surface write errors instead of losing them
 
     def _host_ab(self):
         return np.asarray(self.state.a), np.asarray(self.state.b)
@@ -358,15 +363,22 @@ class Simulation:
         old_T = model.T
         if name is not None:
             frozen = (self.model.a0, self.model.a0_ghost, self.model.bdt)
+            pallas_runner = self._pallas    # scalars ride SMEM: keep it
             self.cfg = self.cfg.replace(**{name: value})
             self._build_model()
             self.model.a0, self.model.a0_ghost, self.model.bdt = frozen
             self.c = stencil.consts_from_model(self.model)
             self._runners = {}
+            self._pallas = pallas_runner
             model = self.model
         self.t_start = float(D(t + D(timeout)))
         self.t_max = float(D(D(self.t_start) + old_T))
         self.t0 = float(D(t + model.dt))
+        # the averaging window moved: refresh the live t_start in the
+        # stencil consts (fast-trig mode gates on it) and the pallas params
+        self.c = self.c._replace(t_start=model.np_dtype(self.t_start))
+        if self._pallas is not None:
+            self._pallas.update_consts(self.c)
         self.state = self.state._replace(
             av=np.zeros(8, model.np_dtype),
             t=model.np_dtype(self.t0))

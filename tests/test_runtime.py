@@ -150,3 +150,31 @@ def test_repl_same_line_exit(tmp_path, monkeypatch):
     lines = [l for l in open("r.txt") if not l.startswith("#")]
     assert len(lines) == 2
     assert float(lines[1].split()[0]) == 1.5
+
+
+def test_fast_mode_dc_only_leaves_averages_zero(tmp_path, monkeypatch):
+    """exact-time=0 must keep the reference's E_omega>0 averaging gate:
+    a dc-only run prints zero period averages (src/boltzmann_c_solver.c:188)."""
+    monkeypatch.chdir(tmp_path)
+    for mode, fname in ((True, "exact.txt"), (False, "fast.txt")):
+        cfg = SimConfig(**{**BASE, "omega": 10.0, "E_omega": 0.0,
+                           "exact_time": mode, "out_file": fname})
+        Simulation(cfg).run()
+        vals = np.array(d4_line(fname).split(), float)
+        np.testing.assert_array_equal(vals[[5, 9, 10, 11, 12]], 0.0,
+                                      err_msg=fname)
+
+
+def test_display77_forces_exact_schedule(tmp_path, monkeypatch):
+    """display=77 with exact-time=0 must not crash (emission averaging is
+    only expressible through the exact schedule) and must match the
+    exact-time=1 output."""
+    monkeypatch.chdir(tmp_path)
+    outs = {}
+    for mode, fname in ((True, "e1.txt"), (False, "e0.txt")):
+        cfg = SimConfig(**{**BASE, "display": 77, "omega": 10.0,
+                           "t_start": 0.15, "exact_time": mode,
+                           "out_file": fname})
+        Simulation(cfg).run()
+        outs[fname] = open(fname).read()
+    assert outs["e1.txt"] == outs["e0.txt"]
