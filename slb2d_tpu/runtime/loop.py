@@ -101,14 +101,17 @@ class Simulation:
         if n_steps not in self._runners:
             collect = self._batched_emission()
             # exact-time=0 evaluates trig on device from the carried t
-            # (fast mode); scheduling/emission cadence stays host-exact
-            step = stencil.make_step_fn(self.c, av_enabled=True,
-                                        exact_trig=self.cfg.exact_time,
+            # (fast mode); scheduling/emission cadence stays host-exact.
+            # Display 77 always uses the exact tables: its averaging fires
+            # only at emission steps, which only the schedule knows.
+            exact = self.cfg.exact_time or self.cfg.display == 77
+            # fast mode needs the display policy (the schedule encodes it
+            # in exact mode): displays 7/77/8 do not average per step
+            av_on = self.cfg.display not in (7, 77, 8)
+            step = stencil.make_step_fn(self.c, av_enabled=av_on,
+                                        exact_trig=exact,
                                         collect_obs=collect)
-
-            # scan unroll=4 is +50% on TPU (VPU scheduling across steps);
-            # kept at 1 on CPU where it only inflates compile time
-            unroll = 4 if jax.default_backend() == "tpu" else 1
+            unroll = stencil.default_scan_unroll()
 
             def run(state, xs):
                 return jax.lax.scan(step, state, xs, unroll=unroll)
