@@ -26,8 +26,13 @@ def main(argv=None):
 
     if cfg.device:
         devs = jax.devices()
-        if cfg.device < len(devs):
-            jax.config.update("jax_default_device", devs[cfg.device])
+        if not (0 <= cfg.device < len(devs)):
+            # the reference aborts when cudaSetDevice fails
+            # (src/boltzmann_solver.c:77 via HANDLE_ERROR :14)
+            print(f"invalid device ordinal in {__file__}",
+                  file=sys.stderr)
+            return 1
+        jax.config.update("jax_default_device", devs[cfg.device])
 
     from .runtime.loop import Simulation
 

@@ -164,7 +164,8 @@ class ParameterSweep:
 
     def _finalize(self, final: stencil.State, cap):
         D = self.base.np_dtype
-        av = np.asarray(final.av)          # (B, 6)
+        av = np.asarray(final.av)          # (B, 8): av_data[0..5] + Kahan
+                                           # compensations in slots 6/7
         out = {k: np.asarray(v) for k, v in cap.items()}
         res = dict(av_count=av[:, 0])
         v_dr_m = np.empty(self.B, D)

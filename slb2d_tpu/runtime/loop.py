@@ -371,7 +371,6 @@ class Simulation:
             self._build_model()
             self.model.a0, self.model.a0_ghost, self.model.bdt = frozen
             self.c = stencil.consts_from_model(self.model)
-            self._runners = {}
             self._pallas = pallas_runner
             model = self.model
         self.t_start = float(D(t + D(timeout)))
@@ -380,6 +379,10 @@ class Simulation:
         # the averaging window moved: refresh the live t_start in the
         # stencil consts (fast-trig mode gates on it) and the pallas params
         self.c = self.c._replace(t_start=model.np_dtype(self.t_start))
+        # cached XLA step fns closed over the OLD consts (incl. t_start) —
+        # drop them even when the mutation named no parameter (the pallas
+        # path instead updates its SMEM params via update_consts below)
+        self._runners = {}
         if self._pallas is not None:
             self._pallas.update_consts(self.c)
         self.state = self.state._replace(

@@ -34,6 +34,13 @@ def test_cli_rejects_bad_args():
     assert cli.main(["display=12", *ARGS]) == 1
 
 
+def test_cli_rejects_out_of_range_device(capsys):
+    # the reference aborts on cudaSetDevice failure
+    # (src/boltzmann_solver.c:77 + HANDLE_ERROR :14)
+    assert cli.main(["display=4", *ARGS, "device=99"]) == 1
+    assert "invalid device ordinal" in capsys.readouterr().err
+
+
 def test_sweep_cli(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rc = sweep_cli.main(["display=4", *ARGS, "sweep:E_dc=0.5,1.5,2",
