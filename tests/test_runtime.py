@@ -178,3 +178,64 @@ def test_display77_forces_exact_schedule(tmp_path, monkeypatch):
         Simulation(cfg).run()
         outs[fname] = open(fname).read()
     assert outs["e1.txt"] == outs["e0.txt"]
+
+
+def test_vectorized_schedule_matches_sequential():
+    """iter_chunks (vectorized) must reproduce iter_chunks_sequential (the
+    scalar specification of the C time loop) exactly: same chunk cuts,
+    events, emission indices, xs bits, and final carries."""
+    import itertools
+
+    T10 = np.float32(2 * np.pi / 10)
+    cases = []
+    for display, break77 in [(4, True), (8, True), (3, True),
+                             (77, True), (77, False),
+                             (7, True), (9, True)]:
+        cases.append(dict(omega=10.0, dt=1e-3, t0=0.0, t_max=0.9,
+                          t_start=0.3, E_omega=2.0, display=display,
+                          frame_start=0.0, T=T10, break_on_e77=break77))
+    # carry-ins mid-flight (parameter-server round 2) + frame_start gate
+    cases.append(dict(omega=10.0, dt=1e-3, t0=0.41, t_max=1.3, t_start=0.8,
+                      E_omega=2.0, display=7, frame_start=0.55, T=T10,
+                      frame_time0=0.0035, break_on_e77=True))
+    cases.append(dict(omega=10.0, dt=1e-3, t0=0.41, t_max=1.4, t_start=0.5,
+                      E_omega=2.0, display=9, frame_start=0.0, T=T10,
+                      last_tT_reminder0=0.652, break_on_e77=True))
+    cases.append(dict(omega=10.0, dt=1e-3, t0=0.11, t_max=0.9, t_start=0.2,
+                      E_omega=2.0, display=77, frame_start=0.0, T=T10,
+                      frame_time0=0.008, break_on_e77=True))
+    # E_omega=0: no averaging, no display-77 emissions
+    cases.append(dict(omega=10.0, dt=1e-3, t0=0.0, t_max=0.5, t_start=0.1,
+                      E_omega=0.0, display=77, frame_start=0.0, T=T10,
+                      break_on_e77=True))
+    # dt >= 0.01: emission every step
+    cases.append(dict(omega=3.0, dt=0.02, t0=0.0, t_max=1.0, t_start=0.3,
+                      E_omega=1.0, display=7, frame_start=0.0,
+                      T=np.float32(2 * np.pi / 3), break_on_e77=True))
+    # empty schedule (t0 already past t_max)
+    cases.append(dict(omega=10.0, dt=1e-3, t0=2.0, t_max=1.0, t_start=0.3,
+                      E_omega=2.0, display=4, frame_start=0.0, T=T10,
+                      break_on_e77=True))
+
+    for dtype in (np.float32, np.float64):
+        for chunk_max in (10**9, 37):
+            for kw in cases:
+                co_v: dict = {}
+                co_s: dict = {}
+                vec = list(schedule.iter_chunks(
+                    dtype=dtype, chunk_max=chunk_max, carry_out=co_v, **kw))
+                seq = list(schedule.iter_chunks_sequential(
+                    dtype=dtype, chunk_max=chunk_max, carry_out=co_s, **kw))
+                label = f"{kw['display']}/{dtype.__name__}/{chunk_max}/{kw}"
+                assert len(vec) == len(seq), label
+                for cv, cs in zip(vec, seq):
+                    assert cv.n_steps == cs.n_steps, label
+                    assert cv.event == cs.event, label
+                    assert cv.emit_idx == cs.emit_idx, label
+                    assert cv.t_first == cs.t_first, label
+                    assert cv.t_last == cs.t_last, label
+                    for k in cs.xs:
+                        np.testing.assert_array_equal(
+                            np.asarray(cv.xs[k]), cs.xs[k],
+                            err_msg=f"{label} xs[{k}]")
+                assert co_v == co_s, f"{label} carries {co_v} != {co_s}"
