@@ -64,8 +64,59 @@ def bench(impl: str, chunk=1000, reps=20, N=100, M=4000):
     return updates / wall, wall, steps
 
 
+def bench_driver(impl: str, N=100, M=4000, t_start=10.0, exact_time=True,
+                 display=4):
+    """End-to-end product throughput: the real Simulation driver (schedule
+    generation, chunked scan, emission machinery, final output write) at
+    BASELINE #4 shape.  Compile time is excluded via Simulation.warmup();
+    a short settle follows it because on this 1-core box the axon tunnel
+    process steals the CPU for a few seconds after heavy compile/device
+    activity, which would otherwise be misattributed to the driver."""
+    import os
+    import tempfile
+
+    from slb2d_tpu.runtime.loop import Simulation
+
+    cfg = SimConfig(display=display, E_dc=1.0, E_omega=2.0, omega=1.0,
+                    mu=1.0, alpha=0.9495, n_harmonics=N, phi_y_min=-10.0,
+                    phi_y_max=10.0, B=0.1, t_start=t_start, g_grid=M,
+                    dt=1e-3, impl=impl, quiet=True, exact_time=exact_time,
+                    out_file="obs.txt")
+    cwd = os.getcwd()
+    os.chdir(tempfile.mkdtemp())
+    try:
+        sim = Simulation(cfg)
+        sim.warmup()
+        time.sleep(10)
+        t0 = time.perf_counter()
+        sim.run()
+        wall = time.perf_counter() - t0
+    finally:
+        os.chdir(cwd)
+    steps = sim.steps_done
+    updates = 2 * (sim.model.N + 1) * (sim.model.M + 1) * steps
+    return updates / wall, wall, steps
+
+
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    if impl == "driver":
+        # end-to-end driver bench:
+        #   python bench.py driver [impl] [exact|fast] [display]
+        sub = sys.argv[2] if len(sys.argv) > 2 else "auto"
+        exact = (sys.argv[3] != "fast") if len(sys.argv) > 3 else True
+        display = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+        ups, wall, steps = bench_driver(sub, exact_time=exact,
+                                        display=display)
+        print(json.dumps({
+            "metric": (f"end-to-end slb2d driver updates/sec "
+                       f"(N=100 M=4000, display={display}, impl={sub}, "
+                       f"{'exact' if exact else 'fast'}-time)"),
+            "value": round(ups),
+            "unit": "updates/sec",
+            "vs_baseline": round(ups / BASELINE, 3),
+        }))
+        return
     if impl == "auto":
         # pallas is the fast engine; fall back to xla if it cannot run
         # (keeps the driver's bench invocation to ONE engine — compiles

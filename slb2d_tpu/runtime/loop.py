@@ -162,10 +162,9 @@ class Simulation:
                                         self._loop_t(), F=F, norm=norm)
                 break
             if cfg.display == 4:
-                a, b = self._host_ab()
-                writers.write_display4(self.out, self.model, cfg, a, b,
-                                       np.asarray(self.state.av),
-                                       quiet=self.quiet,
+                av, a2, b2 = self._round_obs
+                writers.write_display4(self.out, self.model, cfg, a2, b2,
+                                       av, quiet=self.quiet,
                                        t_start=self.t_start)
 
             if repl_stream is None:
@@ -196,24 +195,56 @@ class Simulation:
         """The C driver's post-loop `t` (first value failing t < t_max)."""
         return self.t_exit
 
-    def _run_round(self):
+    def _schedule_kwargs(self):
         cfg = self.cfg
         model = self.model
+        return dict(
+            omega=model.omega, dt=model.dt, t0=self.t0,
+            t_max=self.t_max, t_start=self.t_start,
+            E_omega=model.E_omega, display=cfg.display,
+            frame_start=cfg.frame_start, T=model.T,
+            dtype=model.np_dtype,
+            # pallas: the per-step xs table lives in SMEM (1 MB with
+            # ~16x window padding) — cap chunks at 512 steps there
+            chunk_max=cfg.steps_per_chunk or
+            (512 if self.impl == "pallas" else 4096),
+            frame_time0=self.frame_time,
+            last_tT_reminder0=self.last_rem,
+            break_on_e77=not self._batched_emission())
+
+    def warmup(self):
+        """Compile every step runner the upcoming round will need by
+        running each distinct (chunk length, parity) once on a throwaway
+        copy of the state.  Keeps first-chunk compile latency (tens of
+        seconds on TPU) out of the simulated run — useful before timing
+        or profiling; never required for correctness."""
+        import jax.numpy as jnp
+        seen = set()
+        steps = self.steps_done
+        for chunk in schedule.iter_chunks(**self._schedule_kwargs()):
+            key = (chunk.n_steps,
+                   steps % 2 if self.impl == "pallas" else 0)
+            steps += chunk.n_steps
+            if key in seen:
+                continue
+            seen.add(key)
+            st = jax.tree.map(jnp.array, self.state)   # donation fodder
+            if self.impl == "pallas":
+                out = self._pallas_runner().run_xs(st, chunk.xs, key[1])
+            else:
+                out, _ = self._runner(chunk.n_steps)(st, chunk.xs)
+            np.asarray(out.t)   # barrier: compile + dummy run finished
+        if self.cfg.display in (3, 7, 8, 9):
+            # frame-emitting displays: compile the reconstruction einsum too
+            _, F, _ = self._frame_and_norm(fetch=False)
+            np.asarray(F)
+        self._fetch_round_obs()   # compile the round-end packed fetch
+
+    def _run_round(self):
+        cfg = self.cfg
         carry: dict = {}
         for chunk in schedule.iter_chunks(
-                omega=model.omega, dt=model.dt, t0=self.t0,
-                t_max=self.t_max, t_start=self.t_start,
-                E_omega=model.E_omega, display=cfg.display,
-                frame_start=cfg.frame_start, T=model.T,
-                dtype=model.np_dtype,
-                # pallas: the per-step xs table lives in SMEM (1 MB with
-                # ~16x window padding) — cap chunks at 512 steps there
-                chunk_max=cfg.steps_per_chunk or
-                (512 if self.impl == "pallas" else 4096),
-                frame_time0=self.frame_time,
-                last_tT_reminder0=self.last_rem,
-                carry_out=carry,
-                break_on_e77=not self._batched_emission()):
+                carry_out=carry, **self._schedule_kwargs()):
             prev_rows = None
             if chunk.event == "e77":
                 prev_rows = (np.asarray(self.state.a[:2]),
@@ -235,7 +266,25 @@ class Simulation:
         self.frame_time = carry.get("frame_time", self.frame_time)
         self.last_rem = carry.get("last_rem", self.last_rem)
         self.t_exit = carry.get("t_exit", self.t0)
-        self._check_finite()
+        self._round_obs = self._fetch_round_obs()
+        self._check_finite(*self._round_obs[:2])
+
+    def _fetch_round_obs(self):
+        """ONE packed device->host transfer per round end: av plus (for
+        display 4) harmonic rows 0/1 of a and b — everything the round-end
+        NaN guard and the display-4 observable line read.  Separate small
+        fetches each pay a full tunnel/PCIe round trip; the full state
+        (20 MB at BASELINE #4) never crosses the link."""
+        import jax.numpy as jnp
+        st = self.state
+        if self.cfg.display == 4:
+            MP = self.model.MP
+            packed = np.asarray(jnp.concatenate(
+                [st.av, st.a[:2].ravel(), st.b[:2].ravel()]))
+            return (packed[:8], packed[8:8 + 2 * MP].reshape(2, MP),
+                    packed[8 + 2 * MP:].reshape(2, MP))
+        packed = np.asarray(jnp.concatenate([st.av, st.a[0, :8]]))
+        return packed[:8], packed[8:16].reshape(1, 8), None
 
     def _handle_event(self, chunk, prev_rows):
         cfg = self.cfg
@@ -340,9 +389,8 @@ class Simulation:
             return recon, F, norm
         return recon, F, (lambda: norm)
 
-    def _check_finite(self):
-        av = np.asarray(self.state.av)
-        a0row = np.asarray(self.state.a[0, :8])
+    def _check_finite(self, av, a_rows):
+        a0row = a_rows[0, :8]
         if not (np.all(np.isfinite(av)) and np.all(np.isfinite(a0row))):
             raise NumericalInstability(
                 "non-finite values in solver state — decrease dt "

@@ -33,6 +33,33 @@ def test_native_writer_matches_python(tmp_path):
     assert native_txt == "# header\n" + buf.getvalue() + "# footer\n"
 
 
+def test_native_fmt20_matches_printf():
+    """The native exact-decimal '%0.20f' (128-bit integer path) must be
+    byte-identical to printf across magnitudes, signs, ties, and
+    subnormals."""
+    import ctypes
+    lib = native._load()
+    if lib is None:
+        pytest.skip("libslbio.so not built")
+    lib.slb_fmt20.argtypes = [ctypes.c_double, ctypes.c_char_p]
+    lib.slb_fmt20.restype = ctypes.c_int
+    buf = ctypes.create_string_buffer(128)
+    rng = np.random.default_rng(42)
+    vals = []
+    for scale in (1e-30, 1e-12, 1e-6, 1e-3, 1.0, 1e3, 1e9, 1e14):
+        vals += list((rng.standard_normal(500) * scale)
+                     .astype(np.float32).astype(np.float64))
+    vals += list(rng.standard_normal(500) * np.exp(rng.uniform(-60, 30, 500)))
+    vals += [0.0, -0.0, 1.0, -1.0, 0.5, 2**-53, 1e-21, 5e-21, 2.5e-20,
+             0.05, 0.25, 1e14, 123456789.123456789, 5e-324,
+             np.nextafter(0, 1), 0.1, 1 / 3]
+    vals += [float(np.ldexp(1, -k)) for k in range(1, 80)]   # dyadic ties
+    for v in vals:
+        v = float(v)
+        lib.slb_fmt20(v, buf)
+        assert buf.value.decode() == "%0.20f" % v, repr(v)
+
+
 def test_native_count_steps_matches_python():
     if native._load() is None:
         pytest.skip("libslbio.so not built")
