@@ -98,8 +98,55 @@ def bench_driver(impl: str, N=100, M=4000, t_start=10.0, exact_time=True,
     return updates / wall, wall, steps
 
 
+def bench_sweep(B=64, K=1000, reps=6, N=40, M=500):
+    """Aggregate sweep throughput (BASELINE #2 shape, vmapped XLA engine),
+    compile-excluded: a 64-point E_dc sweep advanced in timed chunks."""
+    from slb2d_tpu.parallel.sweep import ParameterSweep
+    from slb2d_tpu.ops import stencil as _st
+
+    cfg = SimConfig(display=4, E_dc=1.0, E_omega=2.0, omega=1.0, mu=1.0,
+                    alpha=0.9495, n_harmonics=N, phi_y_min=-10.0,
+                    phi_y_max=10.0, B=0.1, t_start=0.1, g_grid=M, dt=1e-3)
+    sw = ParameterSweep(cfg, {"E_dc": np.linspace(0.1, 3.0, B)})
+    consts, in_axes = sw.consts, sw.in_axes
+
+    def point_step(c, st):
+        trig = _st.device_trig(c, st.t)
+        do_av = (c.E_omega > 0) & (st.t >= c.t_start) & (st.t < c.t_end)
+        return _st.full_step(c, st, trig, do_av)
+
+    unroll = _st.default_scan_unroll()
+
+    def run_all(consts, states):
+        def body(st, _):
+            return jax.vmap(point_step, in_axes=(in_axes, 0))(consts, st), None
+        return jax.lax.scan(body, states, None, length=K, unroll=unroll)[0]
+
+    run = jax.jit(run_all, donate_argnums=1)
+    states = sw._initial_states()
+    states = run(consts, states)
+    np.asarray(states.t)          # compile barrier
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        states = run(consts, states)
+    np.asarray(states.t)
+    wall = time.perf_counter() - t0
+    agg = 2 * (N + 1) * (M + 1) * K * reps * B
+    return agg / wall, wall, K * reps
+
+
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    if impl == "sweep":
+        ups, wall, steps = bench_sweep()
+        print(json.dumps({
+            "metric": ("aggregate sweep site-updates/sec "
+                       "(64-point E_dc sweep, N=40 M=500, vmapped XLA)"),
+            "value": round(ups),
+            "unit": "updates/sec",
+            "vs_baseline": round(ups / BASELINE, 3),
+        }))
+        return
     if impl == "driver":
         # end-to-end driver bench:
         #   python bench.py driver [impl] [exact|fast] [display]
