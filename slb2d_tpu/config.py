@@ -55,6 +55,9 @@ class SimConfig:
     checkpoint: Optional[str] = None   # save final state to .npz
     resume: Optional[str] = None       # load initial state from .npz
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    shards: int = 1          # spatial shards of the phi_y axis over a
+                             # "space" device mesh (halo exchange via
+                             # ppermute; observables via psum)
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
@@ -97,6 +100,7 @@ _KEYMAP = {
     "checkpoint": ("checkpoint", str),
     "resume": ("resume", str),
     "profile-dir": ("profile_dir", str),
+    "shards": ("shards", int),
 }
 
 _REQUIRED = (
@@ -170,6 +174,11 @@ def validate(cfg: SimConfig):
         _die("ERROR: g-grid too small.")
     if cfg.n_harmonics < 1:
         _die("ERROR: n-harmonics must be >= 1.")
+    if cfg.shards < 1:
+        _die("ERROR: shards= must be >= 1.")
+    if cfg.shards > 1 and cfg.impl == "pallas":
+        _die("ERROR: impl=pallas is single-device; use impl=xla with "
+             "shards=.")
 
 
 def open_out(cfg: SimConfig) -> IO[str]:

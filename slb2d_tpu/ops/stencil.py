@@ -265,23 +265,26 @@ def device_trig(c: StencilConsts, t):
     )
 
 
-def emission_record(c: StencilConsts, pre: State, post: State):
+def emission_record(c: StencilConsts, pre: State, post: State, sum_m=None):
     """Raw per-step observables for batched display-77 emission: sums over
     the PRE-step arrays (the reference prints a[current], the pre-swap
     state, src/boltzmann_c_solver.c:182) plus the POST-step av_data and the
-    step's loop t.  Host-side formatting applies the multipliers."""
+    step's loop t.  Host-side formatting applies the multipliers.
+    sum_m: shard-local partial sum + psum under spatial sharding."""
+    if sum_m is None:
+        sum_m = lambda v: jnp.sum(v, axis=-1)
     return jnp.concatenate([
         jnp.stack([
-            jnp.sum(pre.a[0] * c.w_av),   # norm bounds == av bounds (m=1..M)
-            jnp.sum(pre.b[1] * c.w_av),
-            jnp.sum(pre.a[0] * c.w_av_phi),
-            jnp.sum(pre.a[1] * c.w_av),
+            sum_m(pre.a[0] * c.w_av),     # norm bounds == av bounds (m=1..M)
+            sum_m(pre.b[1] * c.w_av),
+            sum_m(pre.a[0] * c.w_av_phi),
+            sum_m(pre.a[1] * c.w_av),
             pre.t.astype(pre.a.dtype)]),
         post.av])
 
 
 def make_step_fn(c: StencilConsts, *, av_enabled: bool, exact_trig: bool,
-                 collect_obs: bool = False):
+                 collect_obs: bool = False, shift=_shift, sum_m=None):
     """Build the lax.scan body.
 
     exact_trig=True: xs supplies host-precomputed (trig..., do_av) per step
@@ -291,13 +294,17 @@ def make_step_fn(c: StencilConsts, *, av_enabled: bool, exact_trig: bool,
     collect_obs=True: the scan emits a (13,) observable record per step
     (5 leading raw sums/t + the 8-wide av carry)
     (batched display-77 emission — no host sync per emission).
+    shift/sum_m: halo-exchange shift and psum reduction under spatial
+    sharding (parallel/spatial.py); defaults are the single-device ops.
     """
     if exact_trig:
         def step(state: State, xs):
             trig = (xs["cos_t"], xs["cos_t_dt"], xs["cos_hs"],
                     xs["cos_hs_dt"], xs["cos_av"], xs["sin_av"])
-            new = full_step(c, state, trig, xs["do_av"])
-            ys = emission_record(c, state, new) if collect_obs else None
+            new = full_step(c, state, trig, xs["do_av"],
+                            shift=shift, sum_m=sum_m)
+            ys = (emission_record(c, state, new, sum_m)
+                  if collect_obs else None)
             return new, ys
     else:
         def step(state: State, xs):
@@ -310,8 +317,10 @@ def make_step_fn(c: StencilConsts, *, av_enabled: bool, exact_trig: bool,
             do_av = ((c.E_omega > 0) & (state.t >= c.t_start)
                      & (state.t < c.t_end)
                      ) if av_enabled else jnp.asarray(False)
-            new = full_step(c, state, trig, do_av)
-            ys = emission_record(c, state, new) if collect_obs else None
+            new = full_step(c, state, trig, do_av,
+                            shift=shift, sum_m=sum_m)
+            ys = (emission_record(c, state, new, sum_m)
+                  if collect_obs else None)
             return new, ys
     return step
 

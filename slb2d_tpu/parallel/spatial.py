@@ -78,6 +78,54 @@ def spatial_specs(mesh, axis: str = "space"):
     return ca, st
 
 
+def shard_state(state: stencil.State, mesh, axis: str = "space"):
+    """Lay a State out over the mesh per spatial_specs (m-axis sharded)."""
+    from jax.sharding import NamedSharding
+    _, state_spec = spatial_specs(mesh, axis)
+    return jax.tree.map(
+        lambda x, p: jax.device_put(jnp.asarray(x), NamedSharding(mesh, p)),
+        state, state_spec,
+        is_leaf=lambda x: not isinstance(x, stencil.State))
+
+
+def make_sharded_step_runner(c: stencil.StencilConsts, model, mesh, *,
+                             av_enabled: bool, exact_trig: bool,
+                             collect_obs: bool = False, unroll: int = 1,
+                             axis: str = "space"):
+    """jitted (state, xs) -> (state, ys): the driver's chunk runner
+    (runtime/loop.Simulation._runner) shard_map'd over the phi_y axis.
+
+    Mirrors the single-device runner exactly — same xs schedule, same
+    State pytree (globally-shaped, sharded along m), same emission records
+    — so every display mode, the REPL, and checkpointing work unchanged
+    on a space-sharded run.  The reference binds one device
+    (src/boltzmann_solver.c:77); this binds a mesh.
+    """
+    n_shards = mesh.shape[axis]
+    if model.MP % n_shards:
+        raise ValueError(f"MP={model.MP} not divisible by {n_shards} shards")
+    consts_spec, state_spec = spatial_specs(mesh, axis)
+    shift = _halo_shift_factory(axis, n_shards)
+    sum_m = _sum_m_factory(axis)
+    consts = jax.tree.map(jnp.asarray, c)
+
+    def body(cl, st, xs):
+        step = stencil.make_step_fn(
+            cl, av_enabled=av_enabled, exact_trig=exact_trig,
+            collect_obs=collect_obs, shift=shift, sum_m=sum_m)
+        return jax.lax.scan(step, st, xs, unroll=unroll)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(consts_spec, state_spec, P()),
+        out_specs=(state_spec, P()), check_vma=False)
+
+    def run(state, xs):
+        return sharded(consts, state, xs)
+
+    return jax.jit(run, donate_argnums=0)
+
+
 def make_spatial_runner(c: stencil.StencilConsts, model, mesh,
                         axis: str = "space", av_enabled: bool = True):
     """jitted (state, n_steps) -> state advancing a space-sharded run.

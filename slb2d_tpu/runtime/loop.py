@@ -57,6 +57,9 @@ class Simulation:
             self.state = stencil.bootstrap_state(self.c, self.model)
             self.t0 = 0.0
             self.steps_done = 0
+        if self._mesh is not None:
+            from ..parallel.spatial import shard_state
+            self.state = shard_state(self.state, self._mesh)
         self.t_start = float(cfg.t_start)
         self.t_max = self._compute_t_max()
 
@@ -67,11 +70,23 @@ class Simulation:
         self.c = stencil.consts_from_model(self.model)
         self._runners = {}
         self._pallas = None
+        self._mesh = None
+        if self.cfg.shards > 1:
+            from ..parallel.mesh import make_mesh
+            if self.model.MP % self.cfg.shards:
+                raise ValueError(
+                    f"shards={self.cfg.shards} does not divide the padded "
+                    f"grid MP={self.model.MP}; pick a shard count dividing "
+                    f"it (g-grid pads M+3 up to a multiple of 128)")
+            self._mesh = make_mesh((self.cfg.shards,), ("space",))
         self.impl = self._select_impl()
 
     def _select_impl(self):
         import jax as _jax
         impl = self.cfg.impl
+        if self.cfg.shards > 1:
+            return "xla"   # the pallas megakernel is single-device;
+                           # config.validate rejects an explicit pallas
         if impl == "auto":
             # pallas is float32-only and (on TPU) wants x64 off — Mosaic
             # lowering of mixed i32/i64 scalars is broken under x64
@@ -108,10 +123,16 @@ class Simulation:
             # fast mode needs the display policy (the schedule encodes it
             # in exact mode): displays 7/77/8 do not average per step
             av_on = self.cfg.display not in (7, 77, 8)
+            unroll = stencil.default_scan_unroll()
+            if self._mesh is not None:
+                from ..parallel.spatial import make_sharded_step_runner
+                self._runners[n_steps] = make_sharded_step_runner(
+                    self.c, self.model, self._mesh, av_enabled=av_on,
+                    exact_trig=exact, collect_obs=collect, unroll=unroll)
+                return self._runners[n_steps]
             step = stencil.make_step_fn(self.c, av_enabled=av_on,
                                         exact_trig=exact,
                                         collect_obs=collect)
-            unroll = stencil.default_scan_unroll()
 
             def run(state, xs):
                 return jax.lax.scan(step, state, xs, unroll=unroll)
