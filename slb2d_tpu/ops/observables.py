@@ -17,25 +17,48 @@ from ..constants import PI
 f64 = np.float64
 
 
+def _seq_sum(terms, D):
+    """Strict sequential `acc = D(acc + t)` accumulation — the C loops'
+    exact rounding chain (np.add.accumulate is sequential, unlike np.sum's
+    pairwise reduction).  On the cancellation-prone v_y sum a different
+    order shifts the result by ~5e-6 abs, 20x the reference's own
+    FMA-rebuild noise (docs/DEVIATIONS.md D7) — order fidelity matters."""
+    if len(terms) == 0:
+        return D(0)
+    return np.add.accumulate(terms.astype(D), dtype=D)[-1]
+
+
 def eval_norm(model, a: np.ndarray):
-    """norm = 2*pi*sqrt(alpha) * sum_{m=1..M} a0_row * dPhi  (:289-296).
-    Accepts the full (NHP, MP) array or just its harmonic-0 row."""
+    """norm = 2*pi*sqrt(alpha) * sum_{m=1..M} a0_row * dPhi  (:289-296),
+    with the C loop's sequential float accumulation and per-term
+    fl(a*dPhi) rounding.  Accepts the full (NHP, MP) array or just its
+    harmonic-0 row."""
     D = model.np_dtype
-    row = a[0] if a.ndim == 2 else a
-    s = D(np.dot(row.astype(D), model.w_norm))
+    row = np.asarray(a[0] if a.ndim == 2 else a)
+    dPhi = D(model.dPhi)
+    s = _seq_sum(row[1:model.M + 1].astype(D) * dPhi, D)
     # C: norm *= 2*PI*sqrt(alpha)  — double expression, float store
     return D(f64(s) * (2 * PI * np.sqrt(f64(model.alpha))))
 
 
 def instantaneous(model, a: np.ndarray, b: np.ndarray, *, bounds="d4"):
     """(v_dr, v_y, m/m_x) raw sums.  bounds: 'd4' = m<M (display-4 inline,
-    :241) or 'av' = m<M+1 (av() and the sane display-77 bounds, :417)."""
+    :241) or 'av' = m<M+1 (av() and the sane display-77 bounds, :417).
+
+    Exact C semantics per term and per add: v_dr/m_x terms are fl(x*dPhi),
+    v_y terms fl(fl(a*phi)*dPhi) (:242-243), accumulated strictly
+    sequentially at dtype."""
     D = model.np_dtype
-    w = model.w_d4 if bounds == "d4" else model.w_av
-    wp = model.w_d4_phi if bounds == "d4" else model.w_av_phi
-    v_dr = D(np.dot(b[1].astype(D), w))
-    v_y = D(np.dot(a[0].astype(D), wp))
-    m_x = D(np.dot(a[1].astype(D), w))
+    hi = model.M if bounds == "d4" else model.M + 1
+    sl = slice(1, hi)
+    dPhi = D(model.dPhi)
+    phi = np.asarray(model.phi[sl], D)
+    b1 = np.asarray(b[1])[sl].astype(D)
+    a0 = np.asarray(a[0])[sl].astype(D)
+    a1 = np.asarray(a[1])[sl].astype(D)
+    v_dr = _seq_sum(b1 * dPhi, D)
+    v_y = _seq_sum((a0 * phi).astype(D) * dPhi, D)
+    m_x = _seq_sum(a1 * dPhi, D)
     return v_dr, v_y, m_x
 
 

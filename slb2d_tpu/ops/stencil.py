@@ -125,16 +125,19 @@ def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
     mu_t1 = c.n_float * mu_t1_part
 
     # shared m-difference: X[n, m] = nb[n, m+1] - nb[n, m-1]; the n±1 reads
-    # are then single-axis shifts of it.  Halves the shift count and the
-    # live temporaries; g is bitwise-identical to the C expression, h
-    # differs by one association (w*d - (a1 - a2) vs (w*d - a1) + a2) —
-    # sub-ulp, covered by the golden tolerances.
+    # are then single-axis shifts of it.  Both g and h follow the C
+    # expressions' associativity bitwise (g: fl(d1 - d2) with both
+    # differences pre-formed, :370-371; h: fl(fl(W - a1) + a2) with the
+    # n+1 neighbors subtracted INDIVIDUALLY, :372-373) — with matching
+    # trig/schedules the f32 trajectory replays the reference binary
+    # exactly (docs/DEVIATIONS.md D7).
     dm_b = shift(b_nb, 0, 1) - shift(b_nb, 0, -1)
     dm_a = shift(a_nb, 0, 1) - shift(a_nb, 0, -1)
     g = (c.dt * c.a0 + a_src * c.nu_tilde - b_src * mu_t
          + c.bdt * (shift(dm_b, 1, 0) - c.n_ge2 * shift(dm_b, -1, 0)))
     h = (b_src * c.nu_tilde + a_src * mu_t
-         + c.bdt * (c.w_n * shift(dm_a, -1, 0) - shift(dm_a, 1, 0)))
+         + c.bdt * (c.w_n * shift(dm_a, -1, 0)
+                    - shift(a_nb, 1, 1) + shift(a_nb, 1, -1)))
 
     xi = c.nu2 + mu_t1 * mu_t1
     if use_reciprocal:

@@ -53,17 +53,22 @@ def d4_values(text):
 
 @pytest.mark.parametrize("gold,dtype,tol,extra", [
     ("d4_small_f64.txt", "f64", 1e-8, dict(n_harmonics=20, g_grid=200, t_start=1.0)),
-    ("d4_small_f32.txt", "f32", 5e-5, dict(n_harmonics=20, g_grid=200, t_start=1.0)),
+    ("d4_small_f32.txt", "f32", 2e-5, dict(n_harmonics=20, g_grid=200, t_start=1.0)),
     ("d4_base1_f64.txt", "f64", 1e-8, dict(n_harmonics=20, g_grid=200, t_start=10.0)),
-    ("d4_base1_f32.txt", "f32", 5e-5, dict(n_harmonics=20, g_grid=200, t_start=10.0)),
+    ("d4_base1_f32.txt", "f32", 2e-5, dict(n_harmonics=20, g_grid=200, t_start=10.0)),
     ("d4_n40_f64.txt", "f64", 1e-8, dict(n_harmonics=40, g_grid=500, t_start=2.0)),
 ])
 def test_display4_vs_reference(tmp_path, monkeypatch, gold, dtype, tol, extra):
+    # f32 tolerance = the reference's own measured FMA-rebuild envelope
+    # (tests/oracle/noise_floor.sh: 1.0e-5 rel at this horizon; the
+    # cancellation-prone v_y column needs the atol term — see
+    # docs/DEVIATIONS.md D7)
     gold_text = read_gold(gold)
     mine = run_sim(tmp_path, monkeypatch, display=4, dtype=dtype, **extra)
     gl, ml = d4_values(gold_text), d4_values(mine)
     assert len(gl) == len(ml) == 1
-    np.testing.assert_allclose(ml[0], gl[0], rtol=tol, atol=tol * 0.1)
+    np.testing.assert_allclose(ml[0], gl[0], rtol=tol,
+                               atol=8e-6 if dtype == "f32" else tol * 0.1)
     # header lines must be byte-identical
     gh = [l for l in gold_text.splitlines() if l.startswith("#")]
     mh = [l for l in mine.splitlines() if l.startswith("#")]
