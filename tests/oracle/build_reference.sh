@@ -47,5 +47,31 @@ gcc -std=gnu99 -O3 -m64 \
   -I"$HERE/gsl_shim" \
   "$STAGE/boltzmann_c_solver.c" "$STAGE/boltzmann_cli.c" \
   -o "$HERE/bin/boltzmann_c_solver_f64" -lm 2>/dev/null
-rm -rf "$STAGE"
 echo "built $HERE/bin/boltzmann_c_solver_f64"
+
+# Third build: f64 + the display-77 defects fixed (docs/DEVIATIONS.md
+# D1/D2), for pinning ALL 15 display-77 columns, not just t/norm:
+#   D1: print_time_evolution_of_parameters sums m < 2*M+2, reading past
+#       the live region into harmonic row 1 (src/boltzmann_c_solver.c:306)
+#       -> the av() bounds m < M+1 (:417), which this framework uses;
+#   D2: it scales av_data[1..5] IN PLACE (:319-325), compounding the
+#       multipliers across emissions -> local copies, print those.
+sed -i '298,340{
+  s/for( int m = 1; m < 2\*M+2; m++ ) {/for( int m = 1; m < M+1; m++ ) {/
+  s/av_data\[1\] \*= v_dr_multiplier;/ffloat d1 = av_data[1] * v_dr_multiplier;/
+  s/av_data\[2\] \*= v_y_multiplier;/ffloat d2 = av_data[2] * v_y_multiplier;/
+  s/av_data\[3\] \*= m_over_multiplier;/ffloat d3 = av_data[3] * m_over_multiplier;/
+  s/av_data\[4\] \*= v_dr_multiplier;/ffloat d4 = av_data[4] * v_dr_multiplier;/
+  s/av_data\[4\] \/= t;/d4 \/= t;/
+  s/av_data\[5\] \*= v_dr_multiplier;/ffloat d5 = av_data[5] * v_dr_multiplier;/
+  s/av_data\[5\] \/= t;/d5 \/= t; (void)d5;/
+  s/v_dr_inst, av_data\[4\], norm/v_dr_inst, d4, norm/
+  s/av_data\[1\], av_data\[2\], av_data\[3\]/d1, d2, d3/
+  s/, t, av_data\[4\]);/, t, d4);/
+}' "$STAGE/boltzmann_c_solver.c"
+gcc -std=gnu99 -O3 -m64 \
+  -I"$HERE/gsl_shim" \
+  "$STAGE/boltzmann_c_solver.c" "$STAGE/boltzmann_cli.c" \
+  -o "$HERE/bin/boltzmann_c_solver_f64_d77" -lm 2>/dev/null
+rm -rf "$STAGE"
+echo "built $HERE/bin/boltzmann_c_solver_f64_d77"

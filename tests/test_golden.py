@@ -110,6 +110,24 @@ def test_display77_schedule_and_norms(tmp_path, monkeypatch):
         np.testing.assert_allclose(mp[6], gp[6], rtol=1e-9)         # norm
 
 
+def test_display77_all_columns_vs_patched_reference(tmp_path, monkeypatch):
+    """ALL 15 display-77 columns pinned against the D1/D2-patched oracle
+    build (in-bounds sums, non-mutating normalization — the semantics this
+    framework implements; tests/oracle/build_reference.sh stages the
+    patch).  The unpatched binary remains pinned for t/norm above."""
+    gold = [l for l in read_gold("d77_tiny_f64_fixed.txt.gz").splitlines()
+            if l and not l.startswith("#")]
+    mine = [l for l in run_sim(tmp_path, monkeypatch, display=77,
+                               dtype="f64", omega=10.0, n_harmonics=8,
+                               g_grid=24, t_start=0.2).splitlines()
+            if l and not l.startswith("#")]
+    assert len(gold) == len(mine) > 50
+    for g, m in zip(gold, mine):
+        gp, mp = np.array(g.split(), float), np.array(m.split(), float)
+        assert gp.shape == mp.shape == (15,)
+        np.testing.assert_allclose(mp, gp, rtol=5e-9, atol=1e-12)
+
+
 def test_display7_frames_vs_reference(tmp_path, monkeypatch):
     """Frame emission cadence and the in-bounds rows (m=1..M+1) of each
     frame must match; the reference emits extra OOB rows (D3)."""
