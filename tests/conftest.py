@@ -14,5 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("SLB2D_TPU_TESTS") == "1":
+    # real-TPU test mode: keep the axon backend and x64 OFF (the pallas
+    # kernel requires a pure-i32/f32 world on TPU).  Run only the
+    # TPU-gated tests this way, one process at a time:
+    #   SLB2D_TPU_TESTS=1 pytest tests/test_pallas.py -k tpu
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

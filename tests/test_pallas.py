@@ -1,6 +1,12 @@
-"""Pallas megakernel vs the XLA scan path (interpreter mode on CPU;
-the same comparison runs compiled on real TPU, where it matches bit-exact
-for short horizons)."""
+"""Pallas megakernel vs the XLA scan path.
+
+On CPU the kernel runs in interpreter mode (loose rtol: the interpreter
+and the scan accumulate different roundings over 160 steps).  On real TPU
+the compiled kernel tracks the XLA engine at the ulp level — measured
+max abs 7.5e-9 over 160 steps at this shape; NOT bit-exact (Mosaic and
+the XLA TPU emitter place FMA contractions differently, and the kernel
+uses reciprocal-multiply instead of division) — asserted by the TPU-gated
+test below (run: SLB2D_TPU_TESTS=1 pytest tests/test_pallas.py -k tpu)."""
 
 import numpy as np
 import pytest
@@ -56,6 +62,26 @@ def test_pallas_matches_xla_scan(exact):
                                rtol=1e-4, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(out.hs_edge_a),
                                   np.asarray(ref.hs_edge_a))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU invariant (tests force the CPU "
+                           "backend; set SLB2D_TPU_TESTS=1 to enable)")
+def test_pallas_matches_xla_on_tpu_ulp_level():
+    """Compiled-kernel invariant on real TPU: the pallas engine tracks the
+    XLA engine to <= 1e-7 abs over 160 steps (measured 7.5e-9; the gap is
+    FMA-placement + reciprocal ulps, see module docstring)."""
+    cfg, model, c = build()
+    s0 = stencil.bootstrap_state(c, model)
+    runner = make_pallas_runner(c, model, av_enabled=True, exact_trig=False)
+    out = runner(stencil.bootstrap_state(c, model), 100)
+    out = runner(out, 60)
+    step = stencil.make_step_fn(c, av_enabled=True, exact_trig=False)
+    ref = jax.jit(lambda s: jax.lax.scan(step, s, None, length=160)[0])(s0)
+    for f in ("a", "b", "a_hs", "b_hs", "av"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, f)), np.asarray(getattr(ref, f)),
+            rtol=0, atol=1e-7, err_msg=f)
 
 
 def test_pallas_parity_ghost_cells():
