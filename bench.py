@@ -135,8 +135,47 @@ def bench_sweep(B=64, K=1000, reps=6, N=40, M=500):
     return agg / wall, wall, K * reps
 
 
+def bench_movie(frame_batch=8, N=20, M=1000, t_start=0.3, omega=10.0):
+    """Display-7 (movie mode) wall clock at BASELINE #3 shape: frames
+    reconstructed on the MXU, batched device->host, formatted natively."""
+    import os
+    import glob
+    import tempfile
+
+    from slb2d_tpu.runtime.loop import Simulation
+
+    cfg = SimConfig(display=7, E_dc=1.0, E_omega=2.0, omega=omega, mu=1.0,
+                    alpha=0.9495, n_harmonics=N, phi_y_min=-10.0,
+                    phi_y_max=10.0, B=0.1, t_start=t_start, g_grid=M,
+                    dt=1e-3, quiet=True, frame_batch=frame_batch)
+    cwd = os.getcwd()
+    os.chdir(tempfile.mkdtemp())
+    try:
+        sim = Simulation(cfg)
+        sim.warmup()
+        time.sleep(5)
+        t0 = time.perf_counter()
+        sim.run()
+        wall = time.perf_counter() - t0
+        frames = len(glob.glob("frame*.data"))
+    finally:
+        os.chdir(cwd)
+    return wall, frames, sim.steps_done
+
+
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    if impl == "movie":
+        fb = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        wall, frames, steps = bench_movie(frame_batch=fb)
+        print(json.dumps({
+            "metric": (f"display-7 movie frames/sec (N=20 M=1000, "
+                       f"frame-batch={fb})"),
+            "value": round(frames / wall, 2),
+            "unit": "frames/sec",
+            "vs_baseline": None,
+        }))
+        return
     if impl == "sweep":
         ups, wall, steps = bench_sweep()
         print(json.dumps({

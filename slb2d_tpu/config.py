@@ -58,6 +58,8 @@ class SimConfig:
     shards: int = 1          # spatial shards of the phi_y axis over a
                              # "space" device mesh (halo exchange via
                              # ppermute; observables via psum)
+    frame_batch: int = 8     # movie frames accumulated on device per
+                             # host transfer (display 7; 1 = unbatched)
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
@@ -101,6 +103,7 @@ _KEYMAP = {
     "resume": ("resume", str),
     "profile-dir": ("profile_dir", str),
     "shards": ("shards", int),
+    "frame-batch": ("frame_batch", int),
 }
 
 _REQUIRED = (

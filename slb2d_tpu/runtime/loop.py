@@ -40,6 +40,7 @@ class Simulation:
         self.recon = None
         self.frame_number = 1
         self.strobe_values = None
+        self._frame_batch = []
         # cross-round float carries (reference keeps these across the
         # parameter-server loop)
         self.frame_time = 0.0
@@ -284,6 +285,7 @@ class Simulation:
             self.steps_done += chunk.n_steps
             self._handle_event(chunk, prev_rows)
             self._progress(chunk)
+        self._flush_frame_batch()
         self.frame_time = carry.get("frame_time", self.frame_time)
         self.last_rem = carry.get("last_rem", self.last_rem)
         self.t_exit = carry.get("t_exit", self.t0)
@@ -316,20 +318,19 @@ class Simulation:
                 self.out, model, a_prev, b_prev,
                 np.asarray(self.state.av), chunk.t_last, quiet=self.quiet)
         elif chunk.event == "e7":
-            recon, F, norm_thunk = self._frame_and_norm(fetch=False)
+            F, norm_sum, finish = self._frame_parts()
             fname = f"frame{self.frame_number:08d}.data"
             self.frame_number += 1
             if not self.quiet:
                 print(f"\nWriting frame {fname}")
-
-            def write(fname=fname, F=F, norm_thunk=norm_thunk,
-                      t=chunk.t_last):
-                with open(fname, "w") as fh:
-                    writers.write_frame(fh, model, recon, None, None, t,
-                                        F=np.asarray(F), norm=norm_thunk())
-            # overlap frame fetch + IO with the next chunk's device
-            # compute; a single worker preserves file order
-            self._io_pool_submit(write)
+            # frames accumulate on device and cross the host link as ONE
+            # stacked transfer per frame_batch frames: each fetch pays a
+            # full tunnel/PCIe round trip (the reference paid a D2H pair
+            # per frame, src/boltzmann_solver.c:277-287)
+            self._frame_batch.append((fname, F, norm_sum, finish,
+                                      chunk.t_last))
+            if len(self._frame_batch) >= max(1, cfg.frame_batch):
+                self._flush_frame_batch()
         elif chunk.event == "e9":
             recon, F, norm = self._frame_and_norm()
             if self.strobe_values is None:
@@ -378,15 +379,37 @@ class Simulation:
             for f in futures:
                 f.result()   # surface write errors instead of losing them
 
-    def _host_ab(self):
-        return np.asarray(self.state.a), np.asarray(self.state.b)
+    _frame_batch: list
 
-    def _frame_and_norm(self, fetch=True):
-        """Reconstruct the current frame (m=1..M+1) and norm, on-device
-        (MXU einsum, one small transfer) for f32 on TPU, else on host.
-        With fetch=False the returned F/norm may be lazy device values;
-        norm is a thunk so the (cheap) final scaling happens at write
-        time in the IO thread."""
+    def _flush_frame_batch(self):
+        """Stack the pending movie frames on device and submit one
+        fetch+format+write job (file order preserved by the single IO
+        worker)."""
+        batch, self._frame_batch = self._frame_batch, []
+        if not batch:
+            return
+        import jax.numpy as jnp
+        model = self.model
+        recon = self._get_recon()
+        on_device = batch[0][2] is not None
+        Fs = (jnp.stack([F for (_, F, _, _, _) in batch]) if on_device
+              else np.stack([np.asarray(F) for (_, F, _, _, _) in batch]))
+        ns = (jnp.stack([s for (_, _, s, _, _) in batch]) if on_device
+              else None)
+
+        def write(batch=batch, Fs=Fs, ns=ns):
+            Fh = np.asarray(Fs)               # ONE transfer for k frames
+            nh = np.asarray(ns) if ns is not None else [None] * len(batch)
+            for i, (fname, _, _, finish, t) in enumerate(batch):
+                with open(fname, "w") as fh:
+                    writers.write_frame(fh, model, recon, None, None, t,
+                                        F=Fh[i], norm=finish(nh[i]))
+        self._io_pool_submit(write)
+
+    def _frame_parts(self):
+        """(F, norm_sum, finish): the current frame, reconstructed on
+        device when possible (F and norm_sum stay lazy device values;
+        finish(norm_sum_host) applies the final scaling)."""
         model = self.model
         recon = self._get_recon()
         if (model.np_dtype == np.float32
@@ -396,19 +419,31 @@ class Simulation:
             D = model.np_dtype
             from ..constants import PI
 
-            def norm_value():
-                s = D(np.asarray(norm_sum))
-                return D(np.float64(s)
+            def finish(s):
+                return D(np.float64(D(s))
                          * (2 * PI * np.sqrt(np.float64(model.alpha))))
-            if fetch:
-                return recon, np.asarray(F), norm_value()
-            return recon, F, norm_value
+            return F, norm_sum, finish
         a, b = self._host_ab()
         F = recon.reconstruct(a, b, 1, model.M + 2)
         norm = observables.eval_norm(model, a)
+        return F, None, (lambda s, _n=norm: _n)
+
+    def _host_ab(self):
+        return np.asarray(self.state.a), np.asarray(self.state.b)
+
+    def _frame_and_norm(self, fetch=True):
+        """Reconstruct the current frame (m=1..M+1) and norm (see
+        _frame_parts).  With fetch=False the returned F may be a lazy
+        device value; norm is a thunk so the fetch + final scaling happen
+        at write time in the IO thread."""
+        recon = self._get_recon()
+        F, ns, finish = self._frame_parts()
+
+        def norm_value():
+            return finish(np.asarray(ns) if ns is not None else None)
         if fetch:
-            return recon, F, norm
-        return recon, F, (lambda: norm)
+            return recon, np.asarray(F), norm_value()
+        return recon, F, norm_value
 
     def _check_finite(self, av, a_rows):
         a0row = a_rows[0, :8]
