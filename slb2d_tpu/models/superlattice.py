@@ -112,7 +112,12 @@ class SuperlatticeModel:
         # equivalent of kernel K311's peeled branches,
         # reference src/boltzmann_gpu.cu:477-577) ----
         nvec = np.arange(self.NHP)
-        self.n_float = nvec.astype(self.np_dtype)[:, None]        # (NHP,1)
+        # n_float is zeroed at non-updated rows (n >= N): mu_t/mu_t1
+        # vanish there, so the stencil outputs are zero via the nu_row
+        # factors alone — the row-mask selects fold into existing
+        # multiplies (the C loop never reaches n >= N, :367)
+        self.n_float = np.where(nvec < self.N, nvec, 0).astype(
+            self.np_dtype)[:, None]                               # (NHP,1)
         self.row_update = (nvec < self.N)[:, None]                # n in [0,N)
         self.n_ge2 = np.where(nvec >= 2, 1, 0).astype(self.np_dtype)[:, None]
         w = np.ones(self.NHP)

@@ -110,51 +110,71 @@ def _shift(arr, dn: int, dm: int):
 
 def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
                     cos_t, cos_t_dt, *, main: bool, shift=_shift,
-                    use_reciprocal: bool = False):
+                    use_reciprocal: bool = False, mus=None):
     """One stencil application.
 
     a_src/b_src are read pointwise at (n, m) (the arrays being advanced);
     a_nb/b_nb are the time-staggered arrays read at (n±1, m±1).
     `main=True` uses the main-grid write bounds m=1..M+1
     (src/boltzmann_c_solver.c:361), else the half-grid bounds m=1..M (:391).
+    mus: optional precomputed (mu_t, mu_t1) full arrays — the Pallas
+    kernel carries mu_t1 across steps (cos_t of step k+1 == cos_t_dt of
+    step k) to skip half the broadcasts.
     """
-    # operand order mirrors the C expressions so float32 rounding matches
-    mu_t_part = (c.E_dc + c.E_omega * cos_t + c.B * c.phi) * c.dt / 2
-    mu_t1_part = (c.E_dc + c.E_omega * cos_t_dt + c.B * c.phi) * c.dt / 2
-    mu_t = c.n_float * mu_t_part          # (NHP, MP)
-    mu_t1 = c.n_float * mu_t1_part
+    if mus is not None:
+        mu_t, mu_t1 = mus
+    else:
+        # operand order mirrors the C expressions so float32 rounding
+        # matches
+        mu_t_part = (c.E_dc + c.E_omega * cos_t + c.B * c.phi) * c.dt / 2
+        mu_t1_part = (c.E_dc + c.E_omega * cos_t_dt + c.B * c.phi) * c.dt / 2
+        mu_t = c.n_float * mu_t_part          # (NHP, MP)
+        mu_t1 = c.n_float * mu_t1_part
 
     # shared m-difference: X[n, m] = nb[n, m+1] - nb[n, m-1]; the n±1 reads
-    # are then single-axis shifts of it.  Both g and h follow the C
-    # expressions' associativity bitwise (g: fl(d1 - d2) with both
+    # are then single-axis shifts of it.  In the exact engines both g and
+    # h follow the C expressions' associativity (g: fl(d1 - d2) with both
     # differences pre-formed, :370-371; h: fl(fl(W - a1) + a2) with the
-    # n+1 neighbors subtracted INDIVIDUALLY, :372-373) — with matching
-    # trig/schedules the f32 trajectory replays the reference binary
-    # exactly (docs/DEVIATIONS.md D7).
+    # n+1 neighbors subtracted INDIVIDUALLY, :372-373).  The fast
+    # (use_reciprocal) engines reuse dm_a for h's n+1 term — one
+    # association swap, sub-ulp (docs/DEVIATIONS.md D7 class) — saving
+    # two 2-axis rolls per application.
     dm_b = shift(b_nb, 0, 1) - shift(b_nb, 0, -1)
     dm_a = shift(a_nb, 0, 1) - shift(a_nb, 0, -1)
     g = (c.dt * c.a0 + a_src * c.nu_tilde - b_src * mu_t
          + c.bdt * (shift(dm_b, 1, 0) - c.n_ge2 * shift(dm_b, -1, 0)))
-    h = (b_src * c.nu_tilde + a_src * mu_t
-         + c.bdt * (c.w_n * shift(dm_a, -1, 0)
-                    - shift(a_nb, 1, 1) + shift(a_nb, 1, -1)))
-
-    xi = c.nu2 + mu_t1 * mu_t1
     if use_reciprocal:
-        # one division + two multiplies instead of two divisions; differs
-        # from the C expression by ~1 ulp (fast engines only)
-        inv_xi = 1.0 / xi
-        a_new = (g * c.nu - h * mu_t1) * inv_xi
-        b_new = (g * mu_t1 + h * c.nu) * inv_xi
+        h_np1 = c.w_n * shift(dm_a, -1, 0) - shift(dm_a, 1, 0)
     else:
-        a_new = (g * c.nu - h * mu_t1) / xi
-        b_new = (g * mu_t1 + h * c.nu) / xi
+        h_np1 = (c.w_n * shift(dm_a, -1, 0)
+                 - shift(a_nb, 1, 1) + shift(a_nb, 1, -1))
+    h = b_src * c.nu_tilde + a_src * mu_t + c.bdt * h_np1
 
+    # Row masking folds into the nu factor: nu_a/nu_b are (NHP, 1)
+    # vectors equal to nu at updated rows and 0 at n >= N (and n == 0 for
+    # b), and n_float is zeroed there too, so mu_t1 vanishes — outputs at
+    # masked rows are exactly 0 without any full-array select.  At live
+    # rows g*nu_a is bitwise g*nu.  Only the (cheap, broadcast) column
+    # select remains for the ghost columns.
+    dtype = a_src.dtype
+    nu_a = c.nu * jnp.asarray(c.row_update).astype(dtype)
+    nu_b = nu_a * jnp.asarray(c.b_row_mask).astype(dtype)
+    xi = c.nu2 + mu_t1 * mu_t1
     cols = c.col_main if main else c.col_half
-    mask = jnp.logical_and(c.row_update, cols)
-    zero = jnp.zeros((), dtype=a_new.dtype)
-    a_new = jnp.where(mask, a_new, zero)
-    b_new = jnp.where(jnp.logical_and(mask, c.b_row_mask), b_new, zero)
+    if use_reciprocal:
+        # one division + two multiplies instead of two divisions, and the
+        # ghost-column mask folds into it: colf/xi is 0 at ghost columns,
+        # 1/xi elsewhere, so no output selects at all (fast engines only;
+        # differs from the C expression by ~1 ulp)
+        inv_xi = jnp.asarray(cols).astype(dtype) / xi
+        a_new = (g * nu_a - h * mu_t1) * inv_xi
+        b_new = (g * mu_t1 + h * nu_b) * inv_xi
+        return a_new, b_new
+    a_new = (g * nu_a - h * mu_t1) / xi
+    b_new = (g * mu_t1 + h * nu_b) / xi
+    zero = jnp.zeros((), dtype=dtype)
+    a_new = jnp.where(cols, a_new, zero)
+    b_new = jnp.where(cols, b_new, zero)
     return a_new, b_new
 
 

@@ -59,7 +59,7 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
             wav_ref, wavphi_ref, rowup_ref, colmain_ref, colhalf_ref,
             coledge_ref, aghost_ref, edges_ref,
             a_out, b_out, ahs_out, bhs_out, edges_out, av_out,
-            *, n_steps: int, parity0: int, unroll: int):
+            *, n_steps: int, parity0: int, unroll: int, edge_col: int):
     """Run n_steps full solver steps in VMEM.
 
     Mosaic wants >=2-D vector layouts, so the vector/scalar bookkeeping of
@@ -86,12 +86,22 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
         w_av=wav_ref[:], w_av_phi=wavphi_ref[:],
         col_edge=coledge_ref[:] > 0,
         **{name: params_ref[i] for i, name in enumerate(SCALAR_FIELDS)})
-    emask = consts.col_edge                    # (1, MP) bool
     dtype = a_out.dtype
     zero = jnp.zeros((), dtype)
-    emaskf = emask.astype(dtype)
+    ME = edge_col                              # column M+1 (static)
 
-    def do_step(i):
+    phi_row = phi_ref[:]
+
+    def mu_of(cos_v):
+        # C operand order (src/boltzmann_c_solver.c:363-365)
+        return consts.n_float * (
+            (consts.E_dc + consts.E_omega * cos_v
+             + consts.B * phi_row) * consts.dt / 2)
+
+    def do_step(i, mu_main, mu_hs):
+        # mu_t arrays are carried between steps: cos_t of step i+1 equals
+        # cos_t_dt of step i (and likewise on the staggered grid), so only
+        # the two mu_t1 broadcasts are computed fresh per step
         cos_t = xs_ref[i, 0]
         cos_t_dt = xs_ref[i, 1]
         cos_hs = xs_ref[i, 2]
@@ -105,21 +115,29 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
         ahs = ahs_out[:]
         bhs = bhs_out[:]
 
+        mu1_main = mu_of(cos_t_dt)
         a_new, b_new = stencil.apply_half_step(
             consts, a, b, ahs, bhs, cos_t, cos_t_dt, main=True,
-            shift=_pl_shift, use_reciprocal=True)
-        # parity ghost fill (main buffer 0 keeps a0 ghost cells)
+            shift=_pl_shift, use_reciprocal=True,
+            mus=(mu_main, mu1_main))
+        # parity ghost fill (main buffer 0 keeps a0 ghost cells): scalar
+        # 0/1 gate * table + add — FMA-fusable, no full-array select
         ghost_on = ((i + np.int32(parity0 + 1)) % np.int32(2)) == 0
-        a_new = a_new + jnp.where(ghost_on, consts.a0_ghost, zero)
+        gf = jnp.where(ghost_on, jnp.ones((), dtype), zero)
+        a_new = a_new + gf * consts.a0_ghost
 
+        mu1_hs = mu_of(cos_hs_dt)
         ahs_new, bhs_new = stencil.apply_half_step(
             consts, ahs, bhs, a_new, b_new, cos_hs, cos_hs_dt, main=False,
-            shift=_pl_shift, use_reciprocal=True)
-        # stale column M+1 of the retired half-step buffer
-        ahs_new = jnp.where(emask, edges_out[:, 0:1], ahs_new)
-        bhs_new = jnp.where(emask, edges_out[:, 1:2], bhs_new)
-        new_edge_a = jnp.sum(ahs * emaskf, axis=1, keepdims=True)
-        new_edge_b = jnp.sum(bhs * emaskf, axis=1, keepdims=True)
+            shift=_pl_shift, use_reciprocal=True,
+            mus=(mu_hs, mu1_hs))
+        # stale column M+1 of the retired half-step buffer: single-device
+        # kernel, so plain column reads/stores instead of the one-hot-mask
+        # form full_step uses for shard_map compatibility
+        old_edge_a = edges_out[:, 0:1]
+        old_edge_b = edges_out[:, 1:2]
+        new_edge_a = ahs[:, ME:ME + 1]
+        new_edge_b = bhs[:, ME:ME + 1]
 
         # running averages (reference av(), src/boltzmann_c_solver.c:413-437)
         @pl.when(do_av)
@@ -149,23 +167,29 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
         b_out[:] = b_new
         ahs_out[:] = ahs_new
         bhs_out[:] = bhs_new
+        # restore the stale edge column (col_half already zeroed it in
+        # ahs_new) and retire the pre-update edge for the next step
+        ahs_out[:, ME:ME + 1] = old_edge_a
+        bhs_out[:, ME:ME + 1] = old_edge_b
         edges_out[:, 0:1] = new_edge_a
         edges_out[:, 1:2] = new_edge_b
+        return mu1_main, mu1_hs
 
     # Manual unroll improves VPU scheduling on large arrays (+37% at
     # N=100 M=4000 for unroll=2) but costs a little on tiny ones — the
     # factor is size-gated by the caller.  int32 bounds throughout: under
     # jax_enable_x64 plain ints become i64, which Mosaic scalar ops reject.
-    def body(j, _):
+    def body(j, carry):
         i = j * np.int32(unroll)
         for k in range(unroll):
-            do_step(i + np.int32(k))
-        return np.int32(0)
+            carry = do_step(i + np.int32(k), *carry)
+        return carry
 
-    jax.lax.fori_loop(np.int32(0), np.int32(n_steps // unroll), body,
-                      np.int32(0))
+    carry = (mu_of(xs_ref[np.int32(0), 0]), mu_of(xs_ref[np.int32(0), 2]))
+    carry = jax.lax.fori_loop(np.int32(0), np.int32(n_steps // unroll),
+                              body, carry)
     for r in range(n_steps - (n_steps // unroll) * unroll):
-        do_step(np.int32((n_steps // unroll) * unroll + r))
+        carry = do_step(np.int32((n_steps // unroll) * unroll + r), *carry)
 
 
 def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
@@ -206,7 +230,8 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
 
         kernel = functools.partial(
             _kernel, n_steps=n_steps, parity0=parity0,
-            unroll=4 if NHP * MP >= (64 * 1024) else 1)
+            unroll=8 if NHP * MP >= (64 * 1024) else 1,
+            edge_col=model.M + 1)
         outs = pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 +
