@@ -109,6 +109,26 @@ def bench_driver(impl: str, N=100, M=4000, t_start=10.0, exact_time=True,
     return updates / wall, wall, steps
 
 
+def bench_sweep_pallas(B=64, N=40, M=500):
+    """Lane-packed pallas sweep kernel: the full 64-point one-period
+    absorption-map run (BASELINE #2 shape), compile-excluded."""
+    from slb2d_tpu.parallel.sweep import ParameterSweep
+    from slb2d_tpu.ops.sweep_pallas import make_sweep_pallas_runner
+
+    cfg = SimConfig(display=4, E_dc=1.0, E_omega=2.0, omega=1.0, mu=1.0,
+                    alpha=0.9495, n_harmonics=N, phi_y_min=-10.0,
+                    phi_y_max=10.0, B=0.1, t_start=0.1, g_grid=M, dt=1e-3)
+    sw = ParameterSweep(cfg, {"E_dc": np.linspace(0.1, 3.0, B)})
+    runner = make_sweep_pallas_runner(sw)
+    runner()                       # compile + warm
+    time.sleep(3)
+    t0 = time.perf_counter()
+    runner()
+    wall = time.perf_counter() - t0
+    agg = 2 * (N + 1) * (M + 1) * sw.n_steps * B
+    return agg / wall, wall, sw.n_steps
+
+
 def bench_sweep(B=64, K=1000, reps=6, N=40, M=500):
     """Aggregate sweep throughput (BASELINE #2 shape, vmapped XLA engine),
     compile-excluded: a 64-point E_dc sweep advanced in timed chunks."""
@@ -188,10 +208,14 @@ def main():
         }))
         return
     if impl == "sweep":
-        ups, wall, steps = bench_sweep()
+        sub = sys.argv[2] if len(sys.argv) > 2 else "xla"
+        if sub == "pallas":
+            ups, wall, steps = bench_sweep_pallas()
+        else:
+            ups, wall, steps = bench_sweep()
         print(json.dumps({
             "metric": ("aggregate sweep site-updates/sec "
-                       "(64-point E_dc sweep, N=40 M=500, vmapped XLA)"),
+                       f"(64-point E_dc sweep, N=40 M=500, {sub})"),
             "value": round(ups),
             "unit": "updates/sec",
             "vs_baseline": round(ups / BASELINE, 3),
