@@ -46,11 +46,15 @@ inline void put10(uint64_t v, char *out) {
   }
 }
 
-// Format v as "%0.20f"; returns chars written.  Falls back to snprintf
-// for huge/non-finite values (never hit by distribution data).
+// Format v as "%0.20f"; returns chars written (<= 63 always).  Falls
+// back to snprintf for huge/non-finite values (never hit by physical
+// distribution data); the fallback is TRUNCATED to the 64-byte per-value
+// budget — snprintf returns the would-be length, not bytes written, so
+// it must be clamped before the caller advances its cursor.
 inline int fmt20(double v, char *out) {
   if (!(v > -1e15 && v < 1e15)) {   // also catches NaN
-    return snprintf(out, 64, "%0.20f", v);
+    int n = snprintf(out, 64, "%0.20f", v);
+    return n < 0 ? 0 : (n > 63 ? 63 : n);
   }
   char *p = out;
   uint64_t bits;

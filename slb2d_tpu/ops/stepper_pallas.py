@@ -98,10 +98,13 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
             (consts.E_dc + consts.E_omega * cos_v
              + consts.B * phi_row) * consts.dt / 2)
 
-    def do_step(i, mu_main, mu_hs):
-        # mu_t arrays are carried between steps: cos_t of step i+1 equals
-        # cos_t_dt of step i (and likewise on the staggered grid), so only
-        # the two mu_t1 broadcasts are computed fresh per step
+    def do_step(i, mu_main):
+        # The MAIN-grid mu_t array is carried between steps: the xs table
+        # guarantees cos_t of step i+1 == cos_t_dt of step i bitwise (the
+        # vectorized schedule aliases one cos array; build_xs_table's fast
+        # branch constructs it the same way).  The STAGGERED grid has no
+        # such identity — fl((t+dt/2)+dt) != fl((t+dt)+dt/2) at ~1 step
+        # per few thousand — so both hs broadcasts are computed fresh.
         cos_t = xs_ref[i, 0]
         cos_t_dt = xs_ref[i, 1]
         cos_hs = xs_ref[i, 2]
@@ -126,6 +129,7 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
         gf = jnp.where(ghost_on, jnp.ones((), dtype), zero)
         a_new = a_new + gf * consts.a0_ghost
 
+        mu_hs = mu_of(cos_hs)
         mu1_hs = mu_of(cos_hs_dt)
         ahs_new, bhs_new = stencil.apply_half_step(
             consts, ahs, bhs, a_new, b_new, cos_hs, cos_hs_dt, main=False,
@@ -173,7 +177,7 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
         bhs_out[:, ME:ME + 1] = old_edge_b
         edges_out[:, 0:1] = new_edge_a
         edges_out[:, 1:2] = new_edge_b
-        return mu1_main, mu1_hs
+        return mu1_main
 
     # Manual unroll improves VPU scheduling on large arrays (+37% at
     # N=100 M=4000 for unroll=2) but costs a little on tiny ones — the
@@ -182,14 +186,14 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
     def body(j, carry):
         i = j * np.int32(unroll)
         for k in range(unroll):
-            carry = do_step(i + np.int32(k), *carry)
+            carry = do_step(i + np.int32(k), carry)
         return carry
 
-    carry = (mu_of(xs_ref[np.int32(0), 0]), mu_of(xs_ref[np.int32(0), 2]))
+    carry = mu_of(xs_ref[np.int32(0), 0])
     carry = jax.lax.fori_loop(np.int32(0), np.int32(n_steps // unroll),
                               body, carry)
     for r in range(n_steps - (n_steps // unroll) * unroll):
-        carry = do_step(np.int32((n_steps // unroll) * unroll + r), *carry)
+        carry = do_step(np.int32((n_steps // unroll) * unroll + r), carry)
 
 
 def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
@@ -340,15 +344,19 @@ def build_xs_table(model, c, t0, step0, n_steps, *, av_enabled, exact):
             xs[i, 7] = t
             t = D(t + dt)
     else:
-        t = (D(t0) + np.arange(n_steps, dtype=D) * dt).astype(D)
-        t_hs = (t + dt / 2).astype(D)
-        xs[:, 0] = np.cos(om * t)
-        xs[:, 1] = np.cos(om * (t + dt))
+        # n_steps+1 sample points so cos_t_dt[i] IS cos_t[i+1] bitwise —
+        # the identity the kernel's carried mu_t relies on (the vectorized
+        # schedule guarantees it the same way by aliasing one cos array)
+        tt = (D(t0) + np.arange(n_steps + 1, dtype=D) * dt).astype(D)
+        cos_all = np.cos(om * tt).astype(D)
+        t_hs = (tt[:n_steps] + dt / 2).astype(D)
+        xs[:, 0] = cos_all[:n_steps]
+        xs[:, 1] = cos_all[1:]
         xs[:, 2] = np.cos(om * t_hs)
-        xs[:, 3] = np.cos(om * (t_hs + dt))
+        xs[:, 3] = np.cos(om * (t_hs + dt).astype(D))
         xs[:, 4] = xs[:, 0]
-        xs[:, 5] = np.sin(om * t)
-        xs[:, 7] = t
+        xs[:, 5] = np.sin(om * tt[:n_steps])
+        xs[:, 7] = tt[:n_steps]
     if av_enabled and float(c.E_omega) > 0:
         xs[:, 6] = ((xs[:, 7] >= D(c.t_start)) &
                     (xs[:, 7] < D(c.t_end))).astype(D)

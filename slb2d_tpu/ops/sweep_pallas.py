@@ -96,9 +96,13 @@ def _sweep_kernel(sc_ref,                     # SMEM (8,) scalars
             (consts.E_dc + consts.E_omega * cos_row
              + consts.B * phi_row) * dt / 2)
 
-    def do_step(i, t, mu_main, mu_hs):
+    def do_step(i, t, mu_main):
         # device_trig semantics (ops/stencil.device_trig) on packed rows:
-        # cos of f32 products of the carried f32 loop t
+        # cos of f32 products of the carried f32 loop t.  Only the MAIN
+        # grid's mu_t carries across steps (om*(t+dt) at step i is
+        # bitwise om*t_next at step i+1); the staggered grid has no such
+        # identity (fl((t+dt/2)+dt) != fl((t+dt)+dt/2)), so both hs
+        # broadcasts are fresh — matching the XLA sweep engine exactly.
         t_hs = t + dt / 2
         mu1_main = mu_of(jnp.cos(om_row * (t + dt)))
         a = a_out[:]
@@ -114,6 +118,7 @@ def _sweep_kernel(sc_ref,                     # SMEM (8,) scalars
         gf = jnp.where(ghost_on, one, zero)
         a_new = a_new + gf * consts.a0_ghost
 
+        mu_hs = mu_of(jnp.cos(om_row * t_hs))
         mu1_hs = mu_of(jnp.cos(om_row * (t_hs + dt)))
         ahs_new, bhs_new = stencil.apply_half_step(
             consts, ahs, bhs, a_new, b_new, zero, zero, main=False,
@@ -172,10 +177,9 @@ def _sweep_kernel(sc_ref,                     # SMEM (8,) scalars
         b_out[:] = b_new
         ahs_out[:] = ahs_new
         bhs_out[:] = bhs_new
-        return t + dt, mu1_main, mu1_hs
+        return t + dt, mu1_main
 
-    carry = (t0, mu_of(jnp.cos(om_row * t0)),
-             mu_of(jnp.cos(om_row * (t0 + dt / 2))))
+    carry = (t0, mu_of(jnp.cos(om_row * t0)))
 
     def body(j, carry):
         i = j * np.int32(unroll)
