@@ -239,3 +239,52 @@ def test_vectorized_schedule_matches_sequential():
                             np.asarray(cv.xs[k]), cs.xs[k],
                             err_msg=f"{label} xs[{k}]")
                 assert co_v == co_s, f"{label} carries {co_v} != {co_s}"
+
+
+def _lines(path):
+    return [l for l in open(path).read().splitlines()
+            if l and not l.startswith("#")]
+
+
+def test_driver_pallas_engine_matches_xla(tmp_path, monkeypatch):
+    """The full Simulation driver on impl=pallas (interpreted on CPU) must
+    match impl=xla through a display-4 run INCLUDING a REPL mutation —
+    covering chunk parity handling, the SMEM params update_consts path,
+    and per-chunk xs feeding.  f32; tolerance covers the kernel's
+    reciprocal-vs-division ulp class."""
+    monkeypatch.chdir(tmp_path)
+    script = "E_dc 1.5 0.05\nexit\n"
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = SimConfig(**{**BASE, "t_start": 0.1, "impl": impl,
+                           "read_from": "stdin",
+                           "steps_per_chunk": 37,   # odd: parities flip
+                           "out_file": f"{impl}.txt"})
+        sim = Simulation(cfg)
+        sim.run(repl_stream=io.StringIO(script))
+        outs[impl] = [np.array(l.split(), float)
+                      for l in _lines(f"{impl}.txt")]
+    assert len(outs["xla"]) == len(outs["pallas"]) == 2
+    for vx, vp in zip(outs["xla"], outs["pallas"]):
+        np.testing.assert_allclose(vp, vx, rtol=5e-4, atol=1e-6)
+
+
+def test_driver_pallas_engine_display7_frames(tmp_path, monkeypatch):
+    """Movie mode through the pallas driver path: same frame cadence and
+    close frame values as the xla engine (frame batching on)."""
+    import glob
+    for impl in ("xla", "pallas"):
+        d = tmp_path / impl
+        d.mkdir()
+        monkeypatch.chdir(d)
+        cfg = SimConfig(**{**BASE, "display": 7, "t_start": 0.05,
+                           "impl": impl})
+        Simulation(cfg).run()
+    fx = sorted(glob.glob(str(tmp_path / "xla" / "frame*.data")))
+    fp = sorted(glob.glob(str(tmp_path / "pallas" / "frame*.data")))
+    assert len(fx) == len(fp) >= 3
+    assert [os.path.basename(p) for p in fx] == \
+           [os.path.basename(p) for p in fp]
+    rx = np.array([l.split() for l in _lines(fx[-1])], float)
+    rp = np.array([l.split() for l in _lines(fp[-1])], float)
+    np.testing.assert_allclose(rp, rx, rtol=5e-4, atol=1e-6)
