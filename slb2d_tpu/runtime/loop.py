@@ -328,26 +328,28 @@ class Simulation:
             # full tunnel/PCIe round trip (the reference paid a D2H pair
             # per frame, src/boltzmann_solver.c:277-287)
             self._frame_batch.append((fname, F, norm_sum, finish,
-                                      chunk.t_last))
+                                      chunk.t_last, "frame"))
             if len(self._frame_batch) >= max(1, cfg.frame_batch):
                 self._flush_frame_batch()
         elif chunk.event == "e9":
-            recon, F, norm = self._frame_and_norm()
+            # strobe accumulation stays on device (host path: numpy); each
+            # period's snapshot rides the same batched transfer as movie
+            # frames (reference: per-period D2H, src/boltzmann_solver.c:
+            # 260-275)
+            F, norm_sum, finish = self._frame_parts()
             if self.strobe_values is None:
-                self.strobe_values = np.zeros_like(F)
-            self.strobe_values = (self.strobe_values + F).astype(
-                model.np_dtype)
+                self.strobe_values = F
+            else:
+                self.strobe_values = self.strobe_values + F
             fname = f"strobe{self.frame_number:08d}.data"
             self.frame_number += 1
             if not self.quiet:
                 print(f"\nWriting strobe {fname}")
-
-            def write(fname=fname, sv=self.strobe_values, norm=norm,
-                      t=chunk.t_last):
-                with open(fname, "w") as fh:
-                    writers.write_strobe(fh, model, recon, sv, None, t,
-                                         norm=norm)
-            self._io_pool_submit(write)
+            self._frame_batch.append(
+                (fname, self.strobe_values, norm_sum, finish,
+                 chunk.t_last, "strobe"))
+            if len(self._frame_batch) >= max(1, cfg.frame_batch):
+                self._flush_frame_batch()
 
     def _progress(self, chunk):
         # reference: `\rt=... %` every 300 steps (:206-213)
@@ -392,18 +394,22 @@ class Simulation:
         model = self.model
         recon = self._get_recon()
         on_device = batch[0][2] is not None
-        Fs = (jnp.stack([F for (_, F, _, _, _) in batch]) if on_device
-              else np.stack([np.asarray(F) for (_, F, _, _, _) in batch]))
-        ns = (jnp.stack([s for (_, _, s, _, _) in batch]) if on_device
+        Fs = (jnp.stack([rec[1] for rec in batch]) if on_device
+              else np.stack([np.asarray(rec[1]) for rec in batch]))
+        ns = (jnp.stack([rec[2] for rec in batch]) if on_device
               else None)
 
         def write(batch=batch, Fs=Fs, ns=ns):
             Fh = np.asarray(Fs)               # ONE transfer for k frames
             nh = np.asarray(ns) if ns is not None else [None] * len(batch)
-            for i, (fname, _, _, finish, t) in enumerate(batch):
+            for i, (fname, _, _, finish, t, kind) in enumerate(batch):
                 with open(fname, "w") as fh:
-                    writers.write_frame(fh, model, recon, None, None, t,
-                                        F=Fh[i], norm=finish(nh[i]))
+                    if kind == "strobe":
+                        writers.write_strobe(fh, model, recon, Fh[i],
+                                             None, t, norm=finish(nh[i]))
+                    else:
+                        writers.write_frame(fh, model, recon, None, None,
+                                            t, F=Fh[i], norm=finish(nh[i]))
         self._io_pool_submit(write)
 
     def _frame_parts(self):
