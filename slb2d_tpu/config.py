@@ -58,8 +58,9 @@ class SimConfig:
     shards: int = 1          # spatial shards of the phi_y axis over a
                              # "space" device mesh (halo exchange via
                              # ppermute; observables via psum)
-    frame_batch: int = 8     # movie frames accumulated on device per
-                             # host transfer (display 7; 1 = unbatched)
+    frame_batch: int = 8     # frame/strobe emissions accumulated on
+                             # device per host transfer (displays 7 and
+                             # 9; 1 = write per emission)
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -319,18 +319,7 @@ class Simulation:
                 np.asarray(self.state.av), chunk.t_last, quiet=self.quiet)
         elif chunk.event == "e7":
             F, norm_sum, finish = self._frame_parts()
-            fname = f"frame{self.frame_number:08d}.data"
-            self.frame_number += 1
-            if not self.quiet:
-                print(f"\nWriting frame {fname}")
-            # frames accumulate on device and cross the host link as ONE
-            # stacked transfer per frame_batch frames: each fetch pays a
-            # full tunnel/PCIe round trip (the reference paid a D2H pair
-            # per frame, src/boltzmann_solver.c:277-287)
-            self._frame_batch.append((fname, F, norm_sum, finish,
-                                      chunk.t_last, "frame"))
-            if len(self._frame_batch) >= max(1, cfg.frame_batch):
-                self._flush_frame_batch()
+            self._enqueue_frame("frame", F, norm_sum, finish, chunk.t_last)
         elif chunk.event == "e9":
             # strobe accumulation stays on device (host path: numpy); each
             # period's snapshot rides the same batched transfer as movie
@@ -341,15 +330,8 @@ class Simulation:
                 self.strobe_values = F
             else:
                 self.strobe_values = self.strobe_values + F
-            fname = f"strobe{self.frame_number:08d}.data"
-            self.frame_number += 1
-            if not self.quiet:
-                print(f"\nWriting strobe {fname}")
-            self._frame_batch.append(
-                (fname, self.strobe_values, norm_sum, finish,
-                 chunk.t_last, "strobe"))
-            if len(self._frame_batch) >= max(1, cfg.frame_batch):
-                self._flush_frame_batch()
+            self._enqueue_frame("strobe", self.strobe_values, norm_sum,
+                                finish, chunk.t_last)
 
     def _progress(self, chunk):
         # reference: `\rt=... %` every 300 steps (:206-213)
@@ -382,6 +364,21 @@ class Simulation:
                 f.result()   # surface write errors instead of losing them
 
     _frame_batch: list
+
+    def _enqueue_frame(self, kind, F, norm_sum, finish, t):
+        """Queue one frame/strobe emission; they accumulate on device and
+        cross the host link as ONE stacked transfer per frame_batch
+        entries (the reference paid a D2H pair per emission,
+        src/boltzmann_solver.c:260-287).  Durability note: up to
+        frame_batch-1 queued emissions are lost if the process dies
+        mid-round; frame-batch=1 restores write-per-emission."""
+        fname = f"{kind}{self.frame_number:08d}.data"
+        self.frame_number += 1
+        if not self.quiet:
+            print(f"\nWriting {kind} {fname}")
+        self._frame_batch.append((fname, F, norm_sum, finish, t, kind))
+        if len(self._frame_batch) >= max(1, self.cfg.frame_batch):
+            self._flush_frame_batch()
 
     def _flush_frame_batch(self):
         """Stack the pending movie frames on device and submit one

@@ -209,6 +209,9 @@ def main():
     refa[:, model.M + 1] = 0
     err = np.max(np.abs(mine - refa))
     print(f"correctness: max |a_T - a_ref| after {K} steps = {err:.3e}")
+    # guard: the in-kernel scalars are hardcoded to this config; a drift
+    # would invalidate the timing as a measurement of the layout
+    assert err < 1e-4, "transposed kernel diverged — timing is invalid"
 
     # timing
     a, b, ahs, bhs = (jnp.asarray(x) for x in (aT, bT, ahsT, bhsT))
