@@ -42,12 +42,20 @@ run boltzmann_c_solver_f64_d77 d77_tiny_f64_fixed.txt display=77 $OMEGA10 n-harm
 "$BIN/boltzmann_c_solver_f64" display=7 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.2 o=d7_out.txt >/dev/null 2>&1 || true
 cp frame00000001.data d7_frame1_f64.txt
 cp frame00000002.data d7_frame2_f64.txt
+rm -f frame*.data
+
+# 6b. display=7 movie frames from the pristine f32 binary (the production
+# precision; pinned with the FMA-envelope tolerance, DEVIATIONS D7)
+"$BIN/boltzmann_c_solver" display=7 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.2 o=d7_out32.txt >/dev/null 2>&1 || true
+cp frame00000001.data d7_frame1_f32.txt
+cp frame00000012.data d7_frame12_f32.txt
 
 # 7. parameter-server session (f64): display=4, two mutations then exit
 printf 'E_dc 1.5 0.5\nB 0.2 0.5\nmu 1.3 0.3\nomega 12.0 0.3\nexit\n' | \
   "$BIN/boltzmann_c_solver_f64" display=4 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.5 read-from=stdin o=repl_f64.txt >/dev/null 2>&1 || true
 
 gzip -nf d3_tiny_f64.txt d7_frame1_f64.txt d7_frame2_f64.txt
+gzip -nf d7_frame1_f32.txt d7_frame12_f32.txt
 gzip -nf d77_tiny_f64.txt d77_tiny_f64_fixed.txt
 cp d4_*.txt repl_f64.txt *.gz "$HERE/"
 cd /; rm -rf "$WORK"

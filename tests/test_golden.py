@@ -110,6 +110,34 @@ def test_display77_schedule_and_norms(tmp_path, monkeypatch):
         np.testing.assert_allclose(mp[6], gp[6], rtol=1e-9)         # norm
 
 
+def test_display7_frames_f32_vs_reference(tmp_path, monkeypatch):
+    """Movie frames at the PRODUCTION precision (f32) against the pristine
+    reference binary: same cadence (frame indices are pinned exactly by
+    the f32 schedule), in-bounds rows within the measured FMA-noise
+    envelope (DEVIATIONS D7)."""
+    M = 24
+    run_sim(tmp_path, monkeypatch, display=7, dtype="f32",
+            omega=10.0, n_harmonics=8, g_grid=M, t_start=0.2)
+    for idx in (1, 12):
+        gold = [l for l in read_gold(f"d7_frame{idx}_f32.txt.gz").splitlines()
+                if not l.startswith("#")]
+        with open(tmp_path / f"frame{idx:08d}.data") as fh:
+            mine = [l for l in fh.read().splitlines()
+                    if not l.startswith("#")]
+        n_gold_rows = 2 * M + 1     # reference emits OOB rows (D3)
+        n_my_rows = M + 1
+        n_blocks = len(gold) // n_gold_rows
+        assert len(mine) // n_my_rows == n_blocks
+        for blk in range(0, n_blocks, 53):
+            gblk = gold[blk * n_gold_rows: blk * n_gold_rows + n_my_rows]
+            mblk = mine[blk * n_my_rows: (blk + 1) * n_my_rows]
+            for g, m in zip(gblk, mblk):
+                gp, mp = g.split(), m.split()
+                assert gp[:2] == mp[:2]       # coordinates byte-identical
+                np.testing.assert_allclose(float(mp[2]), float(gp[2]),
+                                           rtol=2e-4, atol=3e-6)
+
+
 def test_display77_all_columns_vs_patched_reference(tmp_path, monkeypatch):
     """ALL 15 display-77 columns pinned against the D1/D2-patched oracle
     build (in-bounds sums, non-mutating normalization — the semantics this
