@@ -15,6 +15,8 @@ crossing even though all points share one scan.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +28,51 @@ from ..ops import stencil
 from ..runtime.schedule import count_steps
 
 SWEEPABLE = ("E_dc", "E_omega", "omega", "mu", "alpha", "B")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_axes", "n_steps", "unroll"))
+def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll):
+    """Advance a whole batch of sweep points n_steps and capture each
+    point's loop-exit instantaneous observables.
+
+    Module-level and jitted on static (in_axes, n_steps, unroll) so the
+    compiled executable is shared by every ParameterSweep with the same
+    batch/grid shapes — interactive grid refinement (slb2d-sweep
+    read-from=stdin) re-runs without recompiling.
+    """
+
+    def point_step(c, carry):
+        st, cap = carry
+        trig = stencil.device_trig(c, st.t)
+        # E_omega > 0 gates averaging exactly as the reference
+        # (src/boltzmann_c_solver.c:188): a dc-only point leaves all
+        # period averages at zero
+        do_av = ((c.E_omega > 0) & (st.t >= c.t_start)
+                 & (st.t < c.t_end))
+        new = stencil.full_step(c, st, trig, do_av)
+        # capture loop-exit instantaneous observables: the last step
+        # whose loop t is still < t_max overwrites the capture
+        # (display-4 inline sums, src/boltzmann_c_solver.c:236-244)
+        live = st.t < c.t_end
+        inst = dict(
+            v_dr=jnp.sum(new.b[1] * weights["w_d4"]),
+            v_y=jnp.sum(new.a[0] * weights["w_d4_phi"]),
+            m_x=jnp.sum(new.a[1] * weights["w_d4"]),
+            norm=jnp.sum(new.a[0] * weights["w_norm"]),
+        )
+        cap = jax.tree.map(lambda old, cur: jnp.where(live, cur, old),
+                           cap, inst)
+        return new, cap
+
+    def body(carry, _):
+        st, cap = carry
+        st, cap = jax.vmap(point_step, in_axes=(in_axes, 0))(
+            consts, (st, cap))
+        return (st, cap), None
+
+    return jax.lax.scan(body, (states, cap0), None, length=n_steps,
+                        unroll=unroll)[0]
 
 
 class ParameterSweep:
@@ -100,34 +147,12 @@ class ParameterSweep:
         D = self.base.np_dtype
         consts = self.consts
         in_axes = self.in_axes
-
-        def point_step(c, carry):
-            st, cap = carry
-            trig = stencil.device_trig(c, st.t)
-            # E_omega > 0 gates averaging exactly as the reference
-            # (src/boltzmann_c_solver.c:188): a dc-only point leaves all
-            # period averages at zero
-            do_av = ((c.E_omega > 0) & (st.t >= c.t_start)
-                     & (st.t < c.t_end))
-            new = stencil.full_step(c, st, trig, do_av)
-            # capture loop-exit instantaneous observables: the last step
-            # whose loop t is still < t_max overwrites the capture
-            live = st.t < c.t_end
-            cap = jax.tree.map(
-                lambda old, cur: jnp.where(live, cur, old), cap,
-                self._instantaneous(c, new))
-            return new, cap
-
         unroll = stencil.default_scan_unroll()
-
-        def run_all(consts, states):
-            def body(carry, _):
-                st, cap = carry
-                st, cap = jax.vmap(point_step, in_axes=(in_axes, 0))(
-                    consts, (st, cap))
-                return (st, cap), None
-            return jax.lax.scan(body, states, None, length=self.n_steps,
-                                unroll=unroll)[0]
+        weights = dict(
+            w_d4=jnp.asarray(self.base.w_d4),
+            w_d4_phi=jnp.asarray(self.base.w_d4_phi),
+            w_norm=jnp.asarray(self.base.w_norm),
+        )
 
         cap0 = {k: jnp.zeros((self.B,), D)
                 for k in ("v_dr", "v_y", "m_x", "norm")}
@@ -146,21 +171,10 @@ class ParameterSweep:
                 for k, v in consts._asdict().items()})
             cap0 = jax.tree.map(lambda x: jax.device_put(x, shard), cap0)
 
-        (final, cap) = jax.jit(run_all)(consts, (states, cap0))
+        final, cap = _run_sweep(consts, states, cap0, weights,
+                                in_axes=in_axes, n_steps=self.n_steps,
+                                unroll=unroll)
         return self._finalize(final, cap)
-
-    def _instantaneous(self, c, st):
-        """Display-4 loop-exit values (src/boltzmann_c_solver.c:236-244):
-        inline sums over m=1..M-1 plus eval_norm over m=1..M."""
-        w_d4 = jnp.asarray(self.base.w_d4)
-        w_d4_phi = jnp.asarray(self.base.w_d4_phi)
-        w_norm = jnp.asarray(self.base.w_norm)
-        return dict(
-            v_dr=jnp.sum(st.b[1] * w_d4),
-            v_y=jnp.sum(st.a[0] * w_d4_phi),
-            m_x=jnp.sum(st.a[1] * w_d4),
-            norm=jnp.sum(st.a[0] * w_norm),
-        )
 
     def _finalize(self, final: stencil.State, cap):
         D = self.base.np_dtype

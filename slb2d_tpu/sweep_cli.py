@@ -13,6 +13,14 @@ are display-4 semantics) plus any number of
 
 Multiple sweep axes form the cartesian product.  Output: one line per
 point with all six physics parameters and the display-4 observables.
+
+Interactive refinement (`read-from=stdin`, the sweep analogue of the
+reference's parameter server, src/boltzmann_cli.c:71-91): after each
+grid's results are written, one line of new `sweep:` specs (optionally
+with `key=value` scalar overrides) is read from stdin and run as the next
+grid — e.g. zoom a coarse absorption map onto a resonance.  `exit` or EOF
+quits.  Grids of the same shape reuse the previously compiled program
+(the jitted runner is cached on batch/grid shape, parallel/sweep.py).
 """
 
 from __future__ import annotations
@@ -50,24 +58,9 @@ HEADER = ("#E_dc E_omega omega mu alpha B "
           "v_dr_inst v_y_inst m_over_m_x_inst norm\n")
 
 
-def main(argv=None):
-    argv = list(sys.argv[1:] if argv is None else argv)
-    sweeps, rest = parse_sweep_args(argv)
-    if not sweeps:
-        print("ERROR: no sweep: axes given.", file=sys.stderr)
-        return 1
-    if not any(t.startswith("display=") for t in rest):
-        rest = ["display=4"] + rest
-
-    from . import config as cfgmod
-    try:
-        cfg = cfgmod.parse_cmd(rest)
-    except cfgmod.ConfigError:
-        return 1
-
+def _run_one_grid(cfg, sweeps, out):
+    """Build, run, and write one sweep grid; returns the point count."""
     import jax
-    if cfg.dtype == "f64":
-        jax.config.update("jax_enable_x64", True)
 
     from .parallel.mesh import make_mesh
     from .parallel.sweep import ParameterSweep
@@ -88,7 +81,6 @@ def main(argv=None):
               file=sys.stderr)
     res = sweep.run()
 
-    out = cfgmod.open_out(cfg)
     out.write(HEADER)
     p = sweep.params
     for i in range(B):
@@ -99,8 +91,84 @@ def main(argv=None):
             "v_dr_inst", "v_y_inst", "m_over_m_x_inst", "norm")]
         out.write(" ".join(f"{float(v):.12e}" for v in vals + obs) + "\n")
     out.flush()
-    if out is not sys.stdout:
-        out.close()
+    return B
+
+
+def _read_refinement(cfg, stream):
+    """Read one refinement line from the interactive stream.
+
+    A line is tokens in argv syntax: `sweep:NAME=...` specs plus optional
+    scalar `key=value` overrides of the sweepable parameters (and t-max /
+    dt).  Returns (cfg, sweeps) or None on exit/EOF/empty grid."""
+    from . import config as cfgmod
+
+    while True:
+        line = stream.readline()
+        if line == "":
+            return None                     # EOF behaves like exit
+        toks = line.split()
+        if not toks:
+            continue                        # blank line: keep reading
+        if toks[0] == "exit":
+            return None
+        try:
+            sweeps, rest = parse_sweep_args(toks)
+        except SystemExit:
+            continue                        # bad spec: report and re-read
+        overrides = {}
+        for tok in rest:
+            name, _, value = tok.partition("=")
+            if name in cfgmod._KEYMAP and value:
+                field, conv = cfgmod._KEYMAP[name]
+                try:
+                    overrides[field] = conv(value)
+                except ValueError:
+                    print(f'# ignored bad override {tok!r}',
+                          file=sys.stderr)
+        if overrides:
+            cfg = cfg.replace(**overrides)
+        if not sweeps:
+            print("# no sweep: axes on refinement line; need at least "
+                  "one (or `exit`)", file=sys.stderr)
+            continue
+        return cfg, sweeps
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    sweeps, rest = parse_sweep_args(argv)
+    if not sweeps:
+        print("ERROR: no sweep: axes given.", file=sys.stderr)
+        return 1
+    if not any(t.startswith("display=") for t in rest):
+        rest = ["display=4"] + rest
+
+    from . import config as cfgmod
+    try:
+        cfg = cfgmod.parse_cmd(rest)
+    except cfgmod.ConfigError:
+        return 1
+
+    import jax
+    if cfg.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+
+    out = cfgmod.open_out(cfg)
+    try:
+        _run_one_grid(cfg, sweeps, out)
+        # interactive refinement loop (read-from=stdin)
+        while cfg.read_from == "stdin":
+            nxt = _read_refinement(cfg, sys.stdin)
+            if nxt is None:
+                break
+            cfg, sweeps = nxt
+            try:
+                _run_one_grid(cfg, sweeps, out)
+            except ValueError as e:          # e.g. unsweepable axis name
+                print(f"ERROR: {e}", file=sys.stderr)
+    finally:
+        if out is not sys.stdout and out is not sys.stderr:
+            out.close()
     return 0
 
 

@@ -12,35 +12,23 @@ import pytest
 import jax
 
 from slb2d_tpu.config import SimConfig
-from slb2d_tpu.ops import stencil
 from slb2d_tpu.ops.sweep_pallas import run_sweep_pallas
 from slb2d_tpu.parallel.sweep import ParameterSweep
 
 
 def _xla_reference(sw, n_steps):
-    consts, in_axes = sw.consts, sw.in_axes
-
-    def point_step(c, carry):
-        st, cap = carry
-        trig = stencil.device_trig(c, st.t)
-        do_av = (c.E_omega > 0) & (st.t >= c.t_start) & (st.t < c.t_end)
-        new = stencil.full_step(c, st, trig, do_av)
-        live = st.t < c.t_end
-        cap = jax.tree.map(
-            lambda old, cur: jax.numpy.where(live, cur, old), cap,
-            sw._instantaneous(c, new))
-        return new, cap
-
-    def run_all(states, cap0):
-        def body(carry, _):
-            return jax.vmap(point_step, in_axes=(in_axes, 0))(
-                consts, carry), None
-        return jax.lax.scan(body, (states, cap0), None, length=n_steps)[0]
+    from slb2d_tpu.parallel.sweep import _run_sweep
 
     D = sw.base.np_dtype
     cap0 = {k: jax.numpy.zeros((sw.B,), D)
             for k in ("v_dr", "v_y", "m_x", "norm")}
-    return jax.jit(run_all)(sw._initial_states(), cap0)
+    weights = dict(
+        w_d4=jax.numpy.asarray(sw.base.w_d4),
+        w_d4_phi=jax.numpy.asarray(sw.base.w_d4_phi),
+        w_norm=jax.numpy.asarray(sw.base.w_norm),
+    )
+    return _run_sweep(sw.consts, sw._initial_states(), cap0, weights,
+                      in_axes=sw.in_axes, n_steps=n_steps, unroll=1)
 
 
 @pytest.fixture(scope="module")
