@@ -162,25 +162,40 @@ class ParameterSweep:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(self.mesh, P(self.axis))
             repl = NamedSharding(self.mesh, P())
-            states = jax.tree.map(
-                lambda x: jax.device_put(x, shard), states)
+            # go through host numpy: every process holds the full value, so
+            # device_put scatters the addressable shards — this is what
+            # makes the same code path work on a multi-host (DCN) mesh,
+            # where jax arrays committed to one process's device could not
+            # be re-sharded globally
+            put = lambda x, s: jax.device_put(np.asarray(x), s)  # noqa: E731
+            states = jax.tree.map(lambda x: put(x, shard), states)
             axes = in_axes._asdict()
             consts = stencil.StencilConsts(**{
-                k: jax.device_put(jnp.asarray(v),
-                                  shard if axes[k] == 0 else repl)
+                k: put(jnp.asarray(v), shard if axes[k] == 0 else repl)
                 for k, v in consts._asdict().items()})
-            cap0 = jax.tree.map(lambda x: jax.device_put(x, shard), cap0)
+            cap0 = jax.tree.map(lambda x: put(x, shard), cap0)
 
         final, cap = _run_sweep(consts, states, cap0, weights,
                                 in_axes=in_axes, n_steps=self.n_steps,
                                 unroll=unroll)
         return self._finalize(final, cap)
 
+    @staticmethod
+    def _fetch(x) -> np.ndarray:
+        """Global array -> host numpy; allgathers across processes when the
+        mesh spans hosts (multi-host sweeps: every process gets the full
+        result table, like the reference's single output stream)."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x,
+                                                                tiled=True))
+        return np.asarray(x)
+
     def _finalize(self, final: stencil.State, cap):
         D = self.base.np_dtype
-        av = np.asarray(final.av)          # (B, 8): av_data[0..5] + Kahan
+        av = self._fetch(final.av)         # (B, 8): av_data[0..5] + Kahan
                                            # compensations in slots 6/7
-        out = {k: np.asarray(v) for k, v in cap.items()}
+        out = {k: self._fetch(v) for k, v in cap.items()}
         res = dict(av_count=av[:, 0])
         v_dr_m = np.empty(self.B, D)
         v_y_m = np.empty(self.B, D)
@@ -196,8 +211,10 @@ class ParameterSweep:
         res["v_dr_inst"] = (out["v_dr"] * v_dr_m).astype(D)
         res["v_y_inst"] = (out["v_y"] * v_y_m).astype(D)
         res["m_over_m_x_inst"] = (out["m_x"] * m_x_m).astype(D)
-        res["norm"] = (np.float64(out["norm"]) * np.float64(norm_mult)
-                       ).astype(D)
+        # astype, not np.float64(): the latter collapses a size-1 batch to
+        # a scalar (B=1 sweeps)
+        res["norm"] = (out["norm"].astype(np.float64)
+                       * norm_mult.astype(np.float64)).astype(D)
         res["v_dr_av"] = (av[:, 1] * v_dr_m).astype(D)
         res["v_y_av"] = (av[:, 2] * v_y_m).astype(D)
         res["m_over_m_x_av"] = (av[:, 3] * m_x_m).astype(D)
