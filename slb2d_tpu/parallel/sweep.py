@@ -75,17 +75,83 @@ def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll):
                         unroll=unroll)[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _spatial_sweep_runner(mesh, sweep_axis, space_axis, in_axes, n_steps,
+                          unroll):
+    """jitted (consts, states, cap0, weights) over a combined 2-D
+    (sweep x space) mesh: points data-parallel over `sweep_axis`, each
+    point's phi_y grid sharded over `space_axis` with ppermute halos and
+    psum observables.  lru_cached on the mesh + static shape info so
+    refinement re-runs share the compiled executable like _run_sweep."""
+    from .spatial import _halo_shift_factory, _sum_m_factory, spatial_specs
+
+    from jax.sharding import PartitionSpec as P
+
+    space_n = mesh.shape[space_axis]
+    shift = _halo_shift_factory(space_axis, space_n)
+    sum_m = _sum_m_factory(space_axis)
+    consts_spec1, state_spec1 = spatial_specs(mesh, space_axis)
+    axes = in_axes._asdict()
+    cs1 = consts_spec1._asdict()
+    consts_spec = stencil.StencilConsts(**{
+        k: (P(sweep_axis, *cs1[k]) if axes[k] == 0 else cs1[k])
+        for k in cs1})
+    state_spec = jax.tree.map(lambda p: P(sweep_axis, *p), state_spec1,
+                              is_leaf=lambda x: isinstance(x, P))
+    cap_spec = {k: P(sweep_axis)
+                for k in ("v_dr", "v_y", "m_x", "norm")}
+    w_spec = {k: P(space_axis) for k in ("w_d4", "w_d4_phi", "w_norm")}
+
+    def body(cl, st, cap, w):
+        def point_step(c1, carry):
+            st1, cap1 = carry
+            trig = stencil.device_trig(c1, st1.t)
+            do_av = ((c1.E_omega > 0) & (st1.t >= c1.t_start)
+                     & (st1.t < c1.t_end))
+            new = stencil.full_step(c1, st1, trig, do_av,
+                                    shift=shift, sum_m=sum_m)
+            live = st1.t < c1.t_end
+            inst = dict(
+                v_dr=sum_m(new.b[1] * w["w_d4"]),
+                v_y=sum_m(new.a[0] * w["w_d4_phi"]),
+                m_x=sum_m(new.a[1] * w["w_d4"]),
+                norm=sum_m(new.a[0] * w["w_norm"]),
+            )
+            cap1 = jax.tree.map(
+                lambda old, cur: jnp.where(live, cur, old), cap1, inst)
+            return new, cap1
+
+        def one(carry, _):
+            return jax.vmap(point_step, in_axes=(in_axes, 0))(cl, carry), None
+
+        return jax.lax.scan(one, (st, cap), None, length=n_steps,
+                            unroll=unroll)[0]
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(consts_spec, state_spec, cap_spec, w_spec),
+        out_specs=(state_spec, cap_spec), check_vma=False)
+    specs = (consts_spec, state_spec, cap_spec, w_spec)
+    return jax.jit(sharded), specs
+
+
 class ParameterSweep:
     def __init__(self, cfg: SimConfig, params: dict, mesh=None,
-                 axis: str = "sweep"):
+                 axis: str = "sweep", space_axis: str | None = None):
         """params: {name: 1-D array}; all arrays broadcast together into a
-        flat batch (use numpy meshgrid + ravel upstream for grids)."""
+        flat batch (use numpy meshgrid + ravel upstream for grids).
+
+        mesh/axis: shard the batch over a "sweep" mesh axis.  space_axis:
+        additionally shard each point's phi_y grid over that mesh axis
+        (combined 2-D sweep x space mesh — grids beyond one chip's memory,
+        swept in parallel; the configuration dryrun_multichip validates)."""
         for k in params:
             if k not in SWEEPABLE:
                 raise ValueError(f"cannot sweep over {k!r}")
         self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
+        self.space_axis = space_axis
         arrs = jnp.broadcast_arrays(*[np.asarray(v, np.float64)
                                       for v in params.values()])
         flat = [np.ravel(np.asarray(a)) for a in arrs]
@@ -158,6 +224,9 @@ class ParameterSweep:
                 for k in ("v_dr", "v_y", "m_x", "norm")}
         states = self._initial_states()
 
+        if self.mesh is not None and self.space_axis is not None:
+            return self._run_spatial(weights, cap0, states, unroll)
+
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(self.mesh, P(self.axis))
@@ -178,6 +247,35 @@ class ParameterSweep:
         final, cap = _run_sweep(consts, states, cap0, weights,
                                 in_axes=in_axes, n_steps=self.n_steps,
                                 unroll=unroll)
+        return self._finalize(final, cap)
+
+    def _run_spatial(self, weights, cap0, states, unroll):
+        """Combined sweep x space execution (2-D mesh)."""
+        from jax.sharding import NamedSharding
+
+        mesh, sw, sp = self.mesh, self.axis, self.space_axis
+        if self.base.MP % mesh.shape[sp]:
+            raise ValueError(
+                f"MP={self.base.MP} not divisible by {mesh.shape[sp]} "
+                f"space shards")
+        if self.B % mesh.shape[sw]:
+            raise ValueError(
+                f"B={self.B} not divisible by {mesh.shape[sw]} sweep shards")
+        run, (consts_spec, state_spec, cap_spec, w_spec) = \
+            _spatial_sweep_runner(mesh, sw, sp, self.in_axes, self.n_steps,
+                                  unroll)
+        # host numpy -> global sharded arrays (multi-host safe, as in run())
+        put = lambda x, p: jax.device_put(  # noqa: E731
+            np.asarray(x), NamedSharding(mesh, p))
+        consts = stencil.StencilConsts(**{
+            k: put(v, getattr(consts_spec, k))
+            for k, v in self.consts._asdict().items()})
+        states = stencil.State(**{
+            k: put(v, getattr(state_spec, k))
+            for k, v in states._asdict().items()})
+        cap0 = {k: put(v, cap_spec[k]) for k, v in cap0.items()}
+        w = {k: put(v, w_spec[k]) for k, v in weights.items()}
+        final, cap = run(consts, states, cap0, w)
         return self._finalize(final, cap)
 
     @staticmethod

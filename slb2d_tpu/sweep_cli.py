@@ -70,14 +70,29 @@ def _run_one_grid(cfg, sweeps, out):
     B = len(next(iter(flat.values())))
 
     mesh = None
+    space_axis = None
     n_dev = len(jax.devices())
-    if n_dev > 1 and B % n_dev == 0:
+    if cfg.shards > 1:
+        # combined sweep x space mesh: each point's phi_y grid sharded
+        # over `shards=` devices, remaining devices parallelize points
+        if n_dev % cfg.shards:
+            print(f"ERROR: shards={cfg.shards} does not divide the "
+                  f"{n_dev} available devices.", file=sys.stderr)
+            raise SystemExit(1)
+        sweep_n = n_dev // cfg.shards
+        if B % sweep_n:
+            sweep_n = 1          # space-only sharding still works
+        mesh = make_mesh((sweep_n, cfg.shards), ("sweep", "space"))
+        space_axis = "space"
+    elif n_dev > 1 and B % n_dev == 0:
         mesh = make_mesh((n_dev,), ("sweep",))
 
-    sweep = ParameterSweep(cfg, flat, mesh=mesh)
+    sweep = ParameterSweep(cfg, flat, mesh=mesh, space_axis=space_axis)
     if not cfg.quiet:
+        extra = (f", phi_y grid over {cfg.shards} shards"
+                 if cfg.shards > 1 else "")
         print(f"# sweeping {list(sweeps.keys())} over {B} points "
-              f"({sweep.n_steps} steps each) on {n_dev} device(s)",
+              f"({sweep.n_steps} steps each) on {n_dev} device(s){extra}",
               file=sys.stderr)
     res = sweep.run()
 

@@ -85,6 +85,42 @@ def test_sweep_sharded_over_mesh_matches_unsharded():
                                    atol=1e-9, err_msg=key)
 
 
+def test_sweep_combined_space_mesh_matches_plain():
+    """Combined 2-D sweep x space ParameterSweep (points parallel over
+    "sweep", each point's phi_y grid halo-sharded over "space") equals the
+    unsharded sweep to f64 machine precision."""
+    cfg = SimConfig(**{**BASE, "dtype": "f64"})
+    e_dcs = np.linspace(0.25, 2.0, 4)
+    plain = ParameterSweep(cfg, {"E_dc": e_dcs}).run()
+    mesh = make_mesh((2, 4), ("sweep", "space"))
+    comb = ParameterSweep(cfg, {"E_dc": e_dcs}, mesh=mesh,
+                          space_axis="space").run()
+    for key in plain:
+        np.testing.assert_allclose(comb[key], plain[key], rtol=1e-12,
+                                   atol=1e-14, err_msg=key)
+
+
+def test_sweep_cli_shards_flag(tmp_path, monkeypatch):
+    """slb2d-sweep shards=K runs the combined mesh from the command line
+    and agrees with the unsharded CLI run."""
+    from slb2d_tpu import sweep_cli
+
+    args = ["E_dc=1.0", "E_omega=2.0", "omega=10.0", "mu=1.0",
+            "alpha=0.9495", "n-harmonics=8", "PhiYmin=-10.0",
+            "PhiYmax=10.0", "B=0.1", "t-max=0.3", "g-grid=24", "dt=0.001",
+            "quiet=1", "dtype=f64", "sweep:E_dc=0.25,2.0,4"]
+    monkeypatch.chdir(tmp_path)
+    assert sweep_cli.main(args + ["o=plain.txt"]) == 0
+    assert sweep_cli.main(args + ["o=sharded.txt", "shards=2"]) == 0
+
+    def rows(name):
+        return np.array([l.split() for l in open(tmp_path / name)
+                         if not l.startswith("#")], float)
+
+    np.testing.assert_allclose(rows("sharded.txt"), rows("plain.txt"),
+                               rtol=1e-12, atol=1e-14)
+
+
 @pytest.mark.parametrize("n_shards,dtype", [(2, "f32"), (4, "f32"),
                                             (2, "f64"), (4, "f64")])
 def test_spatial_sharding_matches_single_device(n_shards, dtype):
