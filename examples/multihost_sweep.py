@@ -47,8 +47,8 @@ def main():
         n_harmonics=12, phi_y_min=-10.0, phi_y_max=10.0, B=0.1,
         t_start=2.0, g_grid=100, dt=1e-3, quiet=True)
 
-    # one E_dc point per device by default; scale freely — B just has to
-    # divide evenly over the mesh
+    # four E_dc points per device by default (SLB2D_POINTS_PER_DEV);
+    # scale freely — B just has to divide evenly over the mesh
     B = n_dev * int(os.environ.get("SLB2D_POINTS_PER_DEV", "4"))
     e_dcs = np.linspace(0.1, 3.0, B)
     mesh = make_mesh((n_dev,), ("sweep",)) if n_dev > 1 else None

@@ -30,6 +30,40 @@ from ..runtime.schedule import count_steps
 SWEEPABLE = ("E_dc", "E_omega", "omega", "mu", "alpha", "B")
 
 
+def _make_point_step(weights, shift=None, sum_m=None):
+    """One sweep point's step + loop-exit capture.  shift/sum_m default to
+    the single-device ops; the combined-mesh runner injects halo-exchange
+    and psum variants — ONE body serves both paths so their semantics
+    cannot diverge (tests pin them at 1e-12)."""
+    sh = stencil._shift if shift is None else shift
+    sm = (lambda v: jnp.sum(v, axis=-1)) if sum_m is None else sum_m
+
+    def point_step(c, carry):
+        st, cap = carry
+        trig = stencil.device_trig(c, st.t)
+        # E_omega > 0 gates averaging exactly as the reference
+        # (src/boltzmann_c_solver.c:188): a dc-only point leaves all
+        # period averages at zero
+        do_av = ((c.E_omega > 0) & (st.t >= c.t_start)
+                 & (st.t < c.t_end))
+        new = stencil.full_step(c, st, trig, do_av, shift=sh, sum_m=sm)
+        # capture loop-exit instantaneous observables: the last step
+        # whose loop t is still < t_max overwrites the capture
+        # (display-4 inline sums, src/boltzmann_c_solver.c:236-244)
+        live = st.t < c.t_end
+        inst = dict(
+            v_dr=sm(new.b[1] * weights["w_d4"]),
+            v_y=sm(new.a[0] * weights["w_d4_phi"]),
+            m_x=sm(new.a[1] * weights["w_d4"]),
+            norm=sm(new.a[0] * weights["w_norm"]),
+        )
+        cap = jax.tree.map(lambda old, cur: jnp.where(live, cur, old),
+                           cap, inst)
+        return new, cap
+
+    return point_step
+
+
 @functools.partial(jax.jit,
                    static_argnames=("in_axes", "n_steps", "unroll"))
 def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll):
@@ -41,29 +75,7 @@ def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll):
     batch/grid shapes — interactive grid refinement (slb2d-sweep
     read-from=stdin) re-runs without recompiling.
     """
-
-    def point_step(c, carry):
-        st, cap = carry
-        trig = stencil.device_trig(c, st.t)
-        # E_omega > 0 gates averaging exactly as the reference
-        # (src/boltzmann_c_solver.c:188): a dc-only point leaves all
-        # period averages at zero
-        do_av = ((c.E_omega > 0) & (st.t >= c.t_start)
-                 & (st.t < c.t_end))
-        new = stencil.full_step(c, st, trig, do_av)
-        # capture loop-exit instantaneous observables: the last step
-        # whose loop t is still < t_max overwrites the capture
-        # (display-4 inline sums, src/boltzmann_c_solver.c:236-244)
-        live = st.t < c.t_end
-        inst = dict(
-            v_dr=jnp.sum(new.b[1] * weights["w_d4"]),
-            v_y=jnp.sum(new.a[0] * weights["w_d4_phi"]),
-            m_x=jnp.sum(new.a[1] * weights["w_d4"]),
-            norm=jnp.sum(new.a[0] * weights["w_norm"]),
-        )
-        cap = jax.tree.map(lambda old, cur: jnp.where(live, cur, old),
-                           cap, inst)
-        return new, cap
+    point_step = _make_point_step(weights)
 
     def body(carry, _):
         st, cap = carry
@@ -103,23 +115,7 @@ def _spatial_sweep_runner(mesh, sweep_axis, space_axis, in_axes, n_steps,
     w_spec = {k: P(space_axis) for k in ("w_d4", "w_d4_phi", "w_norm")}
 
     def body(cl, st, cap, w):
-        def point_step(c1, carry):
-            st1, cap1 = carry
-            trig = stencil.device_trig(c1, st1.t)
-            do_av = ((c1.E_omega > 0) & (st1.t >= c1.t_start)
-                     & (st1.t < c1.t_end))
-            new = stencil.full_step(c1, st1, trig, do_av,
-                                    shift=shift, sum_m=sum_m)
-            live = st1.t < c1.t_end
-            inst = dict(
-                v_dr=sum_m(new.b[1] * w["w_d4"]),
-                v_y=sum_m(new.a[0] * w["w_d4_phi"]),
-                m_x=sum_m(new.a[1] * w["w_d4"]),
-                norm=sum_m(new.a[0] * w["w_norm"]),
-            )
-            cap1 = jax.tree.map(
-                lambda old, cur: jnp.where(live, cur, old), cap1, inst)
-            return new, cap1
+        point_step = _make_point_step(w, shift=shift, sum_m=sum_m)
 
         def one(carry, _):
             return jax.vmap(point_step, in_axes=(in_axes, 0))(cl, carry), None

@@ -76,12 +76,12 @@ def _run_one_grid(cfg, sweeps, out):
         # combined sweep x space mesh: each point's phi_y grid sharded
         # over `shards=` devices, remaining devices parallelize points
         if n_dev % cfg.shards:
-            print(f"ERROR: shards={cfg.shards} does not divide the "
-                  f"{n_dev} available devices.", file=sys.stderr)
-            raise SystemExit(1)
+            raise ValueError(f"shards={cfg.shards} does not divide the "
+                             f"{n_dev} available devices.")
+        # largest point-parallel width that divides B (1 = space-only)
         sweep_n = n_dev // cfg.shards
-        if B % sweep_n:
-            sweep_n = 1          # space-only sharding still works
+        while sweep_n > 1 and B % sweep_n:
+            sweep_n -= 1
         mesh = make_mesh((sweep_n, cfg.shards), ("sweep", "space"))
         space_axis = "space"
     elif n_dev > 1 and B % n_dev == 0:
@@ -89,11 +89,12 @@ def _run_one_grid(cfg, sweeps, out):
 
     sweep = ParameterSweep(cfg, flat, mesh=mesh, space_axis=space_axis)
     if not cfg.quiet:
+        used = mesh.devices.size if mesh is not None else 1
         extra = (f", phi_y grid over {cfg.shards} shards"
                  if cfg.shards > 1 else "")
         print(f"# sweeping {list(sweeps.keys())} over {B} points "
-              f"({sweep.n_steps} steps each) on {n_dev} device(s){extra}",
-              file=sys.stderr)
+              f"({sweep.n_steps} steps each) on {used} of {n_dev} "
+              f"device(s){extra}", file=sys.stderr)
     res = sweep.run()
 
     out.write(HEADER)
@@ -109,12 +110,22 @@ def _run_one_grid(cfg, sweeps, out):
     return B
 
 
+# scalar keys a refinement line may override: the six REPL-mutable physics
+# parameters plus the run length and step.  Deliberately NOT dtype /
+# g-grid / n-harmonics / shards / o: those change array shapes, the
+# process-global x64 mode, or the output stream mid-session.
+REFINE_KEYS = ("E_dc", "E_omega", "omega", "mu", "alpha", "B",
+               "t-max", "dt")
+
+
 def _read_refinement(cfg, stream):
     """Read one refinement line from the interactive stream.
 
     A line is tokens in argv syntax: `sweep:NAME=...` specs plus optional
-    scalar `key=value` overrides of the sweepable parameters (and t-max /
-    dt).  Returns (cfg, sweeps) or None on exit/EOF/empty grid."""
+    scalar `key=value` overrides from REFINE_KEYS.  A line that fails any
+    check (no sweep axes, unknown/invalid override, config validation) is
+    rejected WHOLE — nothing from it is applied — and the next line is
+    read.  Returns (cfg, sweeps) or None on exit/EOF."""
     from . import config as cfgmod
 
     while True:
@@ -130,23 +141,38 @@ def _read_refinement(cfg, stream):
             sweeps, rest = parse_sweep_args(toks)
         except SystemExit:
             continue                        # bad spec: report and re-read
+        if not sweeps:
+            print("# rejected line: no sweep: axes (need at least one, "
+                  "or `exit`)", file=sys.stderr)
+            continue
         overrides = {}
+        bad = False
         for tok in rest:
             name, _, value = tok.partition("=")
-            if name in cfgmod._KEYMAP and value:
-                field, conv = cfgmod._KEYMAP[name]
-                try:
-                    overrides[field] = conv(value)
-                except ValueError:
-                    print(f'# ignored bad override {tok!r}',
-                          file=sys.stderr)
-        if overrides:
-            cfg = cfg.replace(**overrides)
-        if not sweeps:
-            print("# no sweep: axes on refinement line; need at least "
-                  "one (or `exit`)", file=sys.stderr)
+            if name not in REFINE_KEYS or not value:
+                print(f"# rejected line: {tok!r} is not an overridable "
+                      f"key=value (allowed: {', '.join(REFINE_KEYS)})",
+                      file=sys.stderr)
+                bad = True
+                break
+            field, conv = cfgmod._KEYMAP[name]
+            try:
+                overrides[field] = conv(value)
+            except ValueError:
+                print(f"# rejected line: bad value in {tok!r}",
+                      file=sys.stderr)
+                bad = True
+                break
+        if bad:
             continue
-        return cfg, sweeps
+        new_cfg = cfg.replace(**overrides) if overrides else cfg
+        try:
+            cfgmod.validate(new_cfg)
+        except cfgmod.ConfigError:          # message already printed
+            print("# rejected line: invalid configuration",
+                  file=sys.stderr)
+            continue
+        return new_cfg, sweeps
 
 
 def main(argv=None):
@@ -170,7 +196,11 @@ def main(argv=None):
 
     out = cfgmod.open_out(cfg)
     try:
-        _run_one_grid(cfg, sweeps, out)
+        try:
+            _run_one_grid(cfg, sweeps, out)
+        except ValueError as e:   # unsweepable axis, shard indivisibility
+            print(f"ERROR: {e}", file=sys.stderr)
+            return 1
         # interactive refinement loop (read-from=stdin)
         while cfg.read_from == "stdin":
             nxt = _read_refinement(cfg, sys.stdin)

@@ -44,8 +44,20 @@ with open(outfile + f".{proc_id}", "w") as fh:
 '''
 
 
+def _free_port() -> str:
+    """OS-assigned free TCP port (closed before use — a tiny race window,
+    but unlike a fixed pid-derived port it cannot collide with an
+    already-bound service and hang the Gloo rendezvous for the full
+    subprocess timeout)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_sweep_matches_single_process(tmp_path):
-    port = str(21000 + os.getpid() % 9000)
+    port = _free_port()
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     outfile = str(tmp_path / "res.json")

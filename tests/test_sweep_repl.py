@@ -73,6 +73,42 @@ def test_sweep_repl_bogus_axis_name_survives(tmp_path, monkeypatch, capsys):
                                [0.5, 1.0, 0.25, 0.75])
 
 
+def test_sweep_repl_rejected_lines_apply_nothing(tmp_path, monkeypatch,
+                                                 capsys):
+    """A rejected refinement line must not leak its overrides into later
+    grids, and invalid values (t-max<=0) or non-whitelisted keys (dtype)
+    must reject the whole line."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "omega=12.0\n"                          # no sweep axes: rejected —
+                                                #  omega must NOT stick
+        "sweep:E_dc=0.5;1.0 t-max=-5\n"         # invalid config: rejected
+        "sweep:E_dc=0.5;1.0 dtype=f64\n"        # non-overridable key
+        "sweep:E_dc=0.25;0.75\n"                # good line, base omega
+        "exit\n"))
+    rc = sweep_cli.main(
+        ARGS + ["o=o.txt", "read-from=stdin", "sweep:E_dc=0.5;1.0"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert err.count("rejected line") == 3
+    rows = _rows((tmp_path / "o.txt").read_text())
+    assert len(rows) == 4                       # only the two good grids
+    assert all(r[2] == 10.0 for r in rows)      # omega=12 never applied
+    # and none of the accepted rows are the all-zero garbage a negative
+    # averaging window would produce
+    assert all(np.any(r[6:] != 0) for r in rows)
+
+
+def test_sweep_cli_first_grid_error_is_clean(tmp_path, monkeypatch,
+                                             capsys):
+    """An unsweepable axis in the argv grid exits 1 with an ERROR line,
+    not a traceback."""
+    monkeypatch.chdir(tmp_path)
+    rc = sweep_cli.main(ARGS + ["o=o.txt", "sweep:dt=0.001;0.002"])
+    assert rc == 1
+    assert "cannot sweep over" in capsys.readouterr().err
+
+
 def test_sweep_compile_cache_shared_across_grids():
     """Two same-shape sweeps (different values) share one compiled
     executable: the refinement loop's warm path."""
