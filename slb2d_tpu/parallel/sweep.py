@@ -203,11 +203,16 @@ class ParameterSweep:
             states.append(stencil.bootstrap_state(ci, m))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
-    def run(self):
+    def run(self, checkpoint=None, resume=None, checkpoint_every=0):
         """Run all points to their t_max; returns per-point display-4
-        observables as a dict of (B,) arrays."""
+        observables as a dict of (B,) arrays.
+
+        checkpoint: .npz path saved at the end and (if checkpoint_every >
+        0) every checkpoint_every steps — extends the single-run
+        checkpoint subsystem (runtime/checkpoint.py) to long sweeps.
+        resume: continue an interrupted sweep from such a file (the grid
+        must match)."""
         D = self.base.np_dtype
-        consts = self.consts
         in_axes = self.in_axes
         unroll = stencil.default_scan_unroll()
         weights = dict(
@@ -216,37 +221,56 @@ class ParameterSweep:
             w_norm=jnp.asarray(self.base.w_norm),
         )
 
-        cap0 = {k: jnp.zeros((self.B,), D)
-                for k in ("v_dr", "v_y", "m_x", "norm")}
+        cap = {k: jnp.zeros((self.B,), D)
+               for k in ("v_dr", "v_y", "m_x", "norm")}
         states = self._initial_states()
+        done = 0
+        if resume is not None:
+            states, cap, done = self._load_checkpoint(resume)
 
         if self.mesh is not None and self.space_axis is not None:
-            return self._run_spatial(weights, cap0, states, unroll)
+            advance, states, cap = self._spatial_advance(
+                weights, cap, states, unroll)
+        else:
+            consts = self.consts
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                shard = NamedSharding(self.mesh, P(self.axis))
+                repl = NamedSharding(self.mesh, P())
+                # go through host numpy: every process holds the full
+                # value, so device_put scatters the addressable shards —
+                # this is what makes the same code path work on a
+                # multi-host (DCN) mesh, where jax arrays committed to one
+                # process's device could not be re-sharded globally
+                put = lambda x, s: jax.device_put(  # noqa: E731
+                    np.asarray(x), s)
+                states = jax.tree.map(lambda x: put(x, shard), states)
+                axes = in_axes._asdict()
+                consts = stencil.StencilConsts(**{
+                    k: put(jnp.asarray(v), shard if axes[k] == 0 else repl)
+                    for k, v in consts._asdict().items()})
+                cap = jax.tree.map(lambda x: put(x, shard), cap)
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            shard = NamedSharding(self.mesh, P(self.axis))
-            repl = NamedSharding(self.mesh, P())
-            # go through host numpy: every process holds the full value, so
-            # device_put scatters the addressable shards — this is what
-            # makes the same code path work on a multi-host (DCN) mesh,
-            # where jax arrays committed to one process's device could not
-            # be re-sharded globally
-            put = lambda x, s: jax.device_put(np.asarray(x), s)  # noqa: E731
-            states = jax.tree.map(lambda x: put(x, shard), states)
-            axes = in_axes._asdict()
-            consts = stencil.StencilConsts(**{
-                k: put(jnp.asarray(v), shard if axes[k] == 0 else repl)
-                for k, v in consts._asdict().items()})
-            cap0 = jax.tree.map(lambda x: put(x, shard), cap0)
+            def advance(st, cp, k):
+                return _run_sweep(consts, st, cp, weights,
+                                  in_axes=in_axes, n_steps=k,
+                                  unroll=unroll)
 
-        final, cap = _run_sweep(consts, states, cap0, weights,
-                                in_axes=in_axes, n_steps=self.n_steps,
-                                unroll=unroll)
-        return self._finalize(final, cap)
+        chunk = (checkpoint_every if checkpoint and checkpoint_every > 0
+                 else self.n_steps - done)
+        while done < self.n_steps:
+            k = min(chunk, self.n_steps - done)
+            states, cap = advance(states, cap, k)
+            done += k
+            if checkpoint is not None and done < self.n_steps:
+                self._save_checkpoint(checkpoint, states, cap, done)
+        if checkpoint is not None:
+            self._save_checkpoint(checkpoint, states, cap, done)
+        return self._finalize(states, cap)
 
-    def _run_spatial(self, weights, cap0, states, unroll):
-        """Combined sweep x space execution (2-D mesh)."""
+    def _spatial_advance(self, weights, cap0, states, unroll):
+        """Combined sweep x space execution (2-D mesh): device inputs +
+        an advance(states, cap, k) closure."""
         from jax.sharding import NamedSharding
 
         mesh, sw, sp = self.mesh, self.axis, self.space_axis
@@ -257,7 +281,7 @@ class ParameterSweep:
         if self.B % mesh.shape[sw]:
             raise ValueError(
                 f"B={self.B} not divisible by {mesh.shape[sw]} sweep shards")
-        run, (consts_spec, state_spec, cap_spec, w_spec) = \
+        _, (consts_spec, state_spec, cap_spec, w_spec) = \
             _spatial_sweep_runner(mesh, sw, sp, self.in_axes, self.n_steps,
                                   unroll)
         # host numpy -> global sharded arrays (multi-host safe, as in run())
@@ -271,8 +295,56 @@ class ParameterSweep:
             for k, v in states._asdict().items()})
         cap0 = {k: put(v, cap_spec[k]) for k, v in cap0.items()}
         w = {k: put(v, w_spec[k]) for k, v in weights.items()}
-        final, cap = run(consts, states, cap0, w)
-        return self._finalize(final, cap)
+
+        def advance(st, cp, k):
+            run, _ = _spatial_sweep_runner(mesh, sw, sp, self.in_axes, k,
+                                           unroll)
+            return run(consts, st, cp, w)
+
+        return advance, states, cap0
+
+    # -- checkpoint/resume ----------------------------------------------------
+
+    _CAP_KEYS = ("v_dr", "v_y", "m_x", "norm")
+
+    def _save_checkpoint(self, path, states, cap, done):
+        """Atomic .npz snapshot of the whole batch mid-sweep (allgathered
+        on multi-host meshes so any process's file is complete)."""
+        import os
+
+        data = {f"state_{k}": self._fetch(v)
+                for k, v in states._asdict().items()}
+        data.update({f"cap_{k}": self._fetch(cap[k])
+                     for k in self._CAP_KEYS})
+        for k, v in self.params.items():
+            data[f"param_{k}"] = v
+        data["done"] = np.asarray(done)
+        data["n_steps"] = np.asarray(self.n_steps)
+        tmp = path + ".tmp"
+        np.savez_compressed(tmp, **data)
+        os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""),
+                   path)
+
+    def _load_checkpoint(self, path):
+        z = np.load(path)
+        if int(z["n_steps"]) != self.n_steps:
+            raise ValueError(
+                f"sweep checkpoint ran {int(z['n_steps'])} total steps; "
+                f"this grid runs {self.n_steps} — t-max/omega/dt must match")
+        for k, v in self.params.items():
+            if (f"param_{k}" not in z.files
+                    or not np.array_equal(z[f"param_{k}"], v)):
+                raise ValueError(
+                    f"sweep checkpoint was written by a different grid "
+                    f"(axis {k!r} differs)")
+        states = stencil.State(**{
+            k: z[f"state_{k}"] for k in stencil.State._fields})
+        if states.a.shape != (self.B, self.base.NHP, self.base.MP):
+            raise ValueError(
+                f"sweep checkpoint shape {states.a.shape} does not match "
+                f"(B={self.B}, {self.base.NHP}, {self.base.MP})")
+        cap = {k: z[f"cap_{k}"] for k in self._CAP_KEYS}
+        return states, cap, int(z["done"])
 
     @staticmethod
     def _fetch(x) -> np.ndarray:

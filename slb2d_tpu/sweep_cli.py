@@ -95,7 +95,10 @@ def _run_one_grid(cfg, sweeps, out):
         print(f"# sweeping {list(sweeps.keys())} over {B} points "
               f"({sweep.n_steps} steps each) on {used} of {n_dev} "
               f"device(s){extra}", file=sys.stderr)
-    res = sweep.run()
+    # checkpoint= saves the batch state every steps-per-chunk steps (and
+    # at the end); resume= continues an interrupted sweep of the same grid
+    res = sweep.run(checkpoint=cfg.checkpoint, resume=cfg.resume,
+                    checkpoint_every=cfg.steps_per_chunk)
 
     out.write(HEADER)
     p = sweep.params
@@ -201,6 +204,10 @@ def main(argv=None):
         except ValueError as e:   # unsweepable axis, shard indivisibility
             print(f"ERROR: {e}", file=sys.stderr)
             return 1
+        # refinement grids are new grids: never resume them from the
+        # first grid's checkpoint (checkpoint= keeps saving, last grid
+        # wins)
+        cfg = cfg.replace(resume=None)
         # interactive refinement loop (read-from=stdin)
         while cfg.read_from == "stdin":
             nxt = _read_refinement(cfg, sys.stdin)

@@ -100,6 +100,48 @@ def test_sweep_combined_space_mesh_matches_plain():
                                    atol=1e-14, err_msg=key)
 
 
+def test_sweep_checkpoint_resume_equals_uninterrupted(tmp_path):
+    """A sweep checkpointed mid-run and resumed must finish with the same
+    results as one uninterrupted run (same scan body per step, so f32
+    trajectories agree exactly)."""
+    cfg = SimConfig(**BASE)
+    e_dcs = np.linspace(0.25, 2.0, 3)
+    plain = ParameterSweep(cfg, {"E_dc": e_dcs}).run()
+
+    ck = str(tmp_path / "sweep_ck.npz")
+    sw = ParameterSweep(cfg, {"E_dc": e_dcs})
+    half = sw.n_steps // 2
+    # phase 1: run to the mid-point checkpoint, then abandon
+    sw.run(checkpoint=ck, checkpoint_every=half)
+    # load the MID-run snapshot (the final overwrite has done == n_steps,
+    # so re-save a fresh interrupted run instead: run only `half` steps)
+    sw2 = ParameterSweep(cfg, {"E_dc": e_dcs})
+    st = sw2._initial_states()
+    import jax.numpy as jnp
+    cap = {k: jnp.zeros((sw2.B,), sw2.base.np_dtype)
+           for k in sw2._CAP_KEYS}
+    from slb2d_tpu.parallel.sweep import _run_sweep
+    st, cap = _run_sweep(sw2.consts, st, cap, dict(
+        w_d4=jnp.asarray(sw2.base.w_d4),
+        w_d4_phi=jnp.asarray(sw2.base.w_d4_phi),
+        w_norm=jnp.asarray(sw2.base.w_norm)),
+        in_axes=sw2.in_axes, n_steps=half, unroll=1)
+    sw2._save_checkpoint(ck, st, cap, half)
+
+    resumed = ParameterSweep(cfg, {"E_dc": e_dcs}).run(resume=ck)
+    for key in plain:
+        np.testing.assert_allclose(resumed[key], plain[key], rtol=2e-6,
+                                   atol=1e-9, err_msg=key)
+
+
+def test_sweep_checkpoint_grid_mismatch_rejected(tmp_path):
+    cfg = SimConfig(**BASE)
+    ck = str(tmp_path / "ck.npz")
+    ParameterSweep(cfg, {"E_dc": np.array([0.5, 1.0])}).run(checkpoint=ck)
+    with pytest.raises(ValueError, match="different grid"):
+        ParameterSweep(cfg, {"E_dc": np.array([0.5, 1.5])}).run(resume=ck)
+
+
 def test_sweep_cli_shards_flag(tmp_path, monkeypatch):
     """slb2d-sweep shards=K runs the combined mesh from the command line
     and agrees with the unsharded CLI run."""
