@@ -97,8 +97,13 @@ def _run_one_grid(cfg, sweeps, out):
               f"device(s){extra}", file=sys.stderr)
     # checkpoint= saves the batch state every steps-per-chunk steps (and
     # at the end); resume= continues an interrupted sweep of the same grid
-    res = sweep.run(checkpoint=cfg.checkpoint, resume=cfg.resume,
-                    checkpoint_every=cfg.steps_per_chunk)
+    kw = dict(checkpoint=cfg.checkpoint, resume=cfg.resume,
+              checkpoint_every=cfg.steps_per_chunk)
+    if cfg.profile_dir:
+        with jax.profiler.trace(cfg.profile_dir):
+            res = sweep.run(**kw)
+    else:
+        res = sweep.run(**kw)
 
     out.write(HEADER)
     p = sweep.params
