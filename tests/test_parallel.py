@@ -100,6 +100,34 @@ def test_sweep_combined_space_mesh_matches_plain():
                                    atol=1e-14, err_msg=key)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_sweep_fuzz_random_axes_vs_single_runs(seed, tmp_path, monkeypatch):
+    """Randomized sweep axes (two of the six sweepables, random values)
+    must match per-point standalone display-4 runs — the generalization
+    of the hand-picked cases above, covering mixed axis combinations
+    (varying omega -> per-point windows; varying mu/alpha -> per-point
+    a0) the fixed tests do not."""
+    from slb2d_tpu.parallel.sweep import SWEEPABLE
+
+    rng = np.random.default_rng(seed)
+    ranges = dict(E_dc=(-2.0, 3.0), E_omega=(0.5, 3.0), omega=(8.0, 15.0),
+                  mu=(0.5, 2.0), alpha=(0.5, 1.2), B=(-0.3, 0.3))
+    names = list(rng.choice(SWEEPABLE, size=2, replace=False))
+    B = 2
+    params = {k: rng.uniform(*ranges[k], size=B) for k in names}
+
+    cfg = SimConfig(**BASE)
+    res = ParameterSweep(cfg, params).run()
+    for i in range(B):
+        over = {k: float(v[i]) for k, v in params.items()}
+        ref = single_run_display4(tmp_path, monkeypatch, **over)
+        for key in ("v_dr_inst", "v_y_inst", "m_over_m_x_inst", "norm",
+                    "v_dr_av", "v_y_av", "m_over_m_x_av", "A", "Asin"):
+            np.testing.assert_allclose(
+                res[key][i], ref[key], rtol=5e-5, atol=2e-6,
+                err_msg=f"seed={seed} {key} at {over}")
+
+
 def test_sweep_checkpoint_resume_equals_uninterrupted(tmp_path):
     """A sweep checkpointed mid-run and resumed must finish with the same
     results as one uninterrupted run (same scan body per step, so f32
