@@ -209,9 +209,13 @@ class ParameterSweep:
 
         checkpoint: .npz path saved at the end and (if checkpoint_every >
         0) every checkpoint_every steps — extends the single-run
-        checkpoint subsystem (runtime/checkpoint.py) to long sweeps.
+        checkpoint subsystem (runtime/checkpoint.py) to long sweeps (the
+        sweep format carries a batch axis + capture state, so it is a
+        separate format from runtime/checkpoint.py's single-run one).
         resume: continue an interrupted sweep from such a file (the grid
         must match)."""
+        checkpoint = checkpoint or None          # '' from the CLI == unset
+        resume = resume or None
         D = self.base.np_dtype
         in_axes = self.in_axes
         unroll = stencil.default_scan_unroll()
@@ -221,12 +225,13 @@ class ParameterSweep:
             w_norm=jnp.asarray(self.base.w_norm),
         )
 
-        cap = {k: jnp.zeros((self.B,), D)
-               for k in ("v_dr", "v_y", "m_x", "norm")}
-        states = self._initial_states()
         done = 0
         if resume is not None:
             states, cap, done = self._load_checkpoint(resume)
+        else:
+            cap = {k: jnp.zeros((self.B,), D)
+                   for k in ("v_dr", "v_y", "m_x", "norm")}
+            states = self._initial_states()
 
         if self.mesh is not None and self.space_axis is not None:
             advance, states, cap = self._spatial_advance(
@@ -306,24 +311,35 @@ class ParameterSweep:
     # -- checkpoint/resume ----------------------------------------------------
 
     _CAP_KEYS = ("v_dr", "v_y", "m_x", "norm")
+    # scalar config a resume must reproduce (swept axes are compared as
+    # arrays; these pin the NON-swept remainder and the schedule)
+    _CFG_SCALARS = ("E_dc", "E_omega", "omega", "mu", "alpha", "B",
+                    "dt", "t_start")
 
     def _save_checkpoint(self, path, states, cap, done):
-        """Atomic .npz snapshot of the whole batch mid-sweep (allgathered
-        on multi-host meshes so any process's file is complete)."""
+        """Atomic .npz snapshot of the whole batch mid-sweep.  _fetch
+        allgathers on multi-host meshes, so process 0's file alone is
+        complete — only process 0 writes (same convention as the example
+        launcher's output)."""
         import os
 
+        # every process joins the _fetch allgathers (collectives); only
+        # process 0 touches the filesystem afterwards
         data = {f"state_{k}": self._fetch(v)
                 for k, v in states._asdict().items()}
         data.update({f"cap_{k}": self._fetch(cap[k])
                      for k in self._CAP_KEYS})
+        if jax.process_index() != 0:
+            return
         for k, v in self.params.items():
             data[f"param_{k}"] = v
+        for k in self._CFG_SCALARS:
+            data[f"cfg_{k}"] = np.float64(getattr(self.cfg, k))
         data["done"] = np.asarray(done)
         data["n_steps"] = np.asarray(self.n_steps)
-        tmp = path + ".tmp"
-        np.savez_compressed(tmp, **data)
-        os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""),
-                   path)
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, **data)     # savez keeps an .npz name
+        os.replace(tmp, path)
 
     def _load_checkpoint(self, path):
         z = np.load(path)
@@ -331,18 +347,36 @@ class ParameterSweep:
             raise ValueError(
                 f"sweep checkpoint ran {int(z['n_steps'])} total steps; "
                 f"this grid runs {self.n_steps} — t-max/omega/dt must match")
+        saved_axes = sorted(k[len("param_"):] for k in z.files
+                            if k.startswith("param_"))
+        if saved_axes != sorted(self.params):
+            raise ValueError(
+                f"sweep checkpoint was written by a different grid "
+                f"(swept axes {saved_axes} vs {sorted(self.params)})")
         for k, v in self.params.items():
-            if (f"param_{k}" not in z.files
-                    or not np.array_equal(z[f"param_{k}"], v)):
+            if not np.array_equal(z[f"param_{k}"], v):
                 raise ValueError(
                     f"sweep checkpoint was written by a different grid "
                     f"(axis {k!r} differs)")
+        for k in self._CFG_SCALARS:
+            if k in self.params:
+                continue                      # swept: compared above
+            if f"cfg_{k}" in z.files and (
+                    float(z[f"cfg_{k}"]) != float(getattr(self.cfg, k))):
+                raise ValueError(
+                    f"sweep checkpoint was written with {k}="
+                    f"{float(z[f'cfg_{k}'])!r}; this run has "
+                    f"{float(getattr(self.cfg, k))!r}")
         states = stencil.State(**{
             k: z[f"state_{k}"] for k in stencil.State._fields})
         if states.a.shape != (self.B, self.base.NHP, self.base.MP):
             raise ValueError(
                 f"sweep checkpoint shape {states.a.shape} does not match "
                 f"(B={self.B}, {self.base.NHP}, {self.base.MP})")
+        if states.a.dtype != self.base.np_dtype:
+            raise ValueError(
+                f"sweep checkpoint dtype {states.a.dtype} does not match "
+                f"the dtype= setting ({np.dtype(self.base.np_dtype).name})")
         cap = {k: z[f"cap_{k}"] for k in self._CAP_KEYS}
         return states, cap, int(z["done"])
 

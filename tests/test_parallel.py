@@ -165,9 +165,27 @@ def test_sweep_checkpoint_resume_equals_uninterrupted(tmp_path):
 def test_sweep_checkpoint_grid_mismatch_rejected(tmp_path):
     cfg = SimConfig(**BASE)
     ck = str(tmp_path / "ck.npz")
-    ParameterSweep(cfg, {"E_dc": np.array([0.5, 1.0])}).run(checkpoint=ck)
+    e = np.array([0.5, 1.0])
+    ParameterSweep(cfg, {"E_dc": e, "mu": np.array([0.8, 1.2])}).run(
+        checkpoint=ck)
+    # different values on a shared axis
     with pytest.raises(ValueError, match="different grid"):
-        ParameterSweep(cfg, {"E_dc": np.array([0.5, 1.5])}).run(resume=ck)
+        ParameterSweep(cfg, {"E_dc": np.array([0.5, 1.5]),
+                             "mu": np.array([0.8, 1.2])}).run(resume=ck)
+    # a swept axis dropped entirely (same B, same E_dc values)
+    with pytest.raises(ValueError, match="swept axes"):
+        ParameterSweep(cfg, {"E_dc": e}).run(resume=ck)
+
+    ck2 = str(tmp_path / "ck2.npz")
+    ParameterSweep(cfg, {"E_dc": e}).run(checkpoint=ck2)
+    # a non-swept scalar changed between write and resume
+    with pytest.raises(ValueError, match="E_omega"):
+        ParameterSweep(cfg.replace(E_omega=2.5), {"E_dc": e}).run(
+            resume=ck2)
+    # cross-precision resume
+    with pytest.raises(ValueError, match="dtype"):
+        ParameterSweep(cfg.replace(dtype="f64"), {"E_dc": e}).run(
+            resume=ck2)
 
 
 def test_sweep_cli_shards_flag(tmp_path, monkeypatch):
