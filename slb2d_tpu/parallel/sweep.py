@@ -396,6 +396,21 @@ class ParameterSweep:
         av = self._fetch(final.av)         # (B, 8): av_data[0..5] + Kahan
                                            # compensations in slots 6/7
         out = {k: self._fetch(v) for k, v in cap.items()}
+        # per-point instability report (the sweep analogue of the
+        # single-run NaN guard, runtime/loop.py:_check_finite): a diverged
+        # point must not pass silently as NaN rows, but one bad point
+        # should not kill the rest of the map either
+        bad = ~(np.all(np.isfinite(av), axis=1)
+                & np.all([np.isfinite(v) for v in out.values()], axis=0))
+        if np.any(bad) and not self.cfg.quiet:
+            import sys
+            idx = np.flatnonzero(bad)
+            vals = {k: np.asarray(v)[idx][:4].tolist()
+                    for k, v in self.params.items()}
+            print(f"# WARNING: {idx.size} sweep point(s) went non-finite "
+                  f"(numerical instability — decrease dt, reference "
+                  f"guidance src/boltzmann_c_solver.c:56-57): indices "
+                  f"{idx[:8].tolist()} {vals}", file=sys.stderr)
         res = dict(av_count=av[:, 0])
         v_dr_m = np.empty(self.B, D)
         v_y_m = np.empty(self.B, D)

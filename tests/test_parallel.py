@@ -128,6 +128,19 @@ def test_sweep_fuzz_random_axes_vs_single_runs(seed, tmp_path, monkeypatch):
                 err_msg=f"seed={seed} {key} at {over}")
 
 
+def test_sweep_reports_diverged_points(capsys):
+    """A numerically unstable point is flagged on stderr with its index
+    and parameter values; stable points in the same batch still produce
+    finite results (the sweep analogue of the single-run NaN guard)."""
+    cfg = SimConfig(**{**BASE, "phi_y_min": -1.0, "phi_y_max": 1.0,
+                       "g_grid": 200, "dt": 0.01, "t_start": 0.5,
+                       "omega": 10.0, "quiet": False})
+    res = ParameterSweep(cfg, {"B": np.array([0.1, 500.0])}).run()
+    err = capsys.readouterr().err
+    assert "non-finite" in err and "indices [1]" in err
+    assert np.isfinite(res["norm"][0]) and not np.isfinite(res["norm"][1])
+
+
 def test_sweep_checkpoint_resume_equals_uninterrupted(tmp_path):
     """A sweep checkpointed mid-run and resumed must finish with the same
     results as one uninterrupted run (same scan body per step, so f32
