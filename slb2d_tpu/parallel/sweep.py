@@ -30,11 +30,17 @@ from ..runtime.schedule import count_steps
 SWEEPABLE = ("E_dc", "E_omega", "omega", "mu", "alpha", "B")
 
 
-def _make_point_step(weights, shift=None, sum_m=None):
+def _make_point_step(weights, shift=None, sum_m=None,
+                     capture_state=False):
     """One sweep point's step + loop-exit capture.  shift/sum_m default to
     the single-device ops; the combined-mesh runner injects halo-exchange
     and psum variants — ONE body serves both paths so their semantics
-    cannot diverge (tests pin them at 1e-12)."""
+    cannot diverge (tests pin them at 1e-12).
+
+    capture_state=True additionally freezes each point's (a, b) arrays at
+    its OWN loop exit (points with shorter periods keep stepping until the
+    longest point finishes, so the scan-end state is not theirs) — the
+    input to per-point frame reconstruction (sweep frames-dir=)."""
     sh = stencil._shift if shift is None else shift
     sm = (lambda v: jnp.sum(v, axis=-1)) if sum_m is None else sum_m
 
@@ -57,6 +63,9 @@ def _make_point_step(weights, shift=None, sum_m=None):
             m_x=sm(new.a[1] * weights["w_d4"]),
             norm=sm(new.a[0] * weights["w_norm"]),
         )
+        if capture_state:
+            inst["a"] = new.a
+            inst["b"] = new.b
         cap = jax.tree.map(lambda old, cur: jnp.where(live, cur, old),
                            cap, inst)
         return new, cap
@@ -65,8 +74,10 @@ def _make_point_step(weights, shift=None, sum_m=None):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("in_axes", "n_steps", "unroll"))
-def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll):
+                   static_argnames=("in_axes", "n_steps", "unroll",
+                                    "capture_state"))
+def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll,
+               capture_state=False):
     """Advance a whole batch of sweep points n_steps and capture each
     point's loop-exit instantaneous observables.
 
@@ -75,7 +86,7 @@ def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll):
     batch/grid shapes — interactive grid refinement (slb2d-sweep
     read-from=stdin) re-runs without recompiling.
     """
-    point_step = _make_point_step(weights)
+    point_step = _make_point_step(weights, capture_state=capture_state)
 
     def body(carry, _):
         st, cap = carry
@@ -89,7 +100,7 @@ def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll):
 
 @functools.lru_cache(maxsize=None)
 def _spatial_sweep_runner(mesh, sweep_axis, space_axis, in_axes, n_steps,
-                          unroll):
+                          unroll, capture_state=False):
     """jitted (consts, states, cap0, weights) over a combined 2-D
     (sweep x space) mesh: points data-parallel over `sweep_axis`, each
     point's phi_y grid sharded over `space_axis` with ppermute halos and
@@ -112,10 +123,14 @@ def _spatial_sweep_runner(mesh, sweep_axis, space_axis, in_axes, n_steps,
                               is_leaf=lambda x: isinstance(x, P))
     cap_spec = {k: P(sweep_axis)
                 for k in ("v_dr", "v_y", "m_x", "norm")}
+    if capture_state:
+        cap_spec["a"] = state_spec.a
+        cap_spec["b"] = state_spec.b
     w_spec = {k: P(space_axis) for k in ("w_d4", "w_d4_phi", "w_norm")}
 
     def body(cl, st, cap, w):
-        point_step = _make_point_step(w, shift=shift, sum_m=sum_m)
+        point_step = _make_point_step(w, shift=shift, sum_m=sum_m,
+                                      capture_state=capture_state)
 
         def one(carry, _):
             return jax.vmap(point_step, in_axes=(in_axes, 0))(cl, carry), None
@@ -203,7 +218,8 @@ class ParameterSweep:
             states.append(stencil.bootstrap_state(ci, m))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
-    def run(self, checkpoint=None, resume=None, checkpoint_every=0):
+    def run(self, checkpoint=None, resume=None, checkpoint_every=0,
+            capture_state=False):
         """Run all points to their t_max; returns per-point display-4
         observables as a dict of (B,) arrays.
 
@@ -213,7 +229,10 @@ class ParameterSweep:
         sweep format carries a batch axis + capture state, so it is a
         separate format from runtime/checkpoint.py's single-run one).
         resume: continue an interrupted sweep from such a file (the grid
-        must match)."""
+        must match).
+        capture_state: additionally freeze each point's (a, b) arrays at
+        its own loop exit; afterwards `self.final_ab` holds host (B, NHP,
+        MP) arrays for per-point frame reconstruction (sweep frames)."""
         checkpoint = checkpoint or None          # '' from the CLI == unset
         resume = resume or None
         D = self.base.np_dtype
@@ -224,18 +243,24 @@ class ParameterSweep:
             w_d4_phi=jnp.asarray(self.base.w_d4_phi),
             w_norm=jnp.asarray(self.base.w_norm),
         )
+        self.final_ab = None
 
         done = 0
         if resume is not None:
-            states, cap, done = self._load_checkpoint(resume)
+            states, cap, done = self._load_checkpoint(resume, capture_state)
         else:
             cap = {k: jnp.zeros((self.B,), D)
                    for k in ("v_dr", "v_y", "m_x", "norm")}
+            if capture_state:
+                cap["a"] = jnp.zeros((self.B, self.base.NHP, self.base.MP),
+                                     D)
+                cap["b"] = jnp.zeros((self.B, self.base.NHP, self.base.MP),
+                                     D)
             states = self._initial_states()
 
         if self.mesh is not None and self.space_axis is not None:
             advance, states, cap = self._spatial_advance(
-                weights, cap, states, unroll)
+                weights, cap, states, unroll, capture_state)
         else:
             consts = self.consts
             if self.mesh is not None:
@@ -259,7 +284,8 @@ class ParameterSweep:
             def advance(st, cp, k):
                 return _run_sweep(consts, st, cp, weights,
                                   in_axes=in_axes, n_steps=k,
-                                  unroll=unroll)
+                                  unroll=unroll,
+                                  capture_state=capture_state)
 
         chunk = (checkpoint_every if checkpoint and checkpoint_every > 0
                  else self.n_steps - done)
@@ -271,9 +297,14 @@ class ParameterSweep:
                 self._save_checkpoint(checkpoint, states, cap, done)
         if checkpoint is not None:
             self._save_checkpoint(checkpoint, states, cap, done)
+        if capture_state:
+            cap = dict(cap)
+            self.final_ab = (self._fetch(cap.pop("a")),
+                             self._fetch(cap.pop("b")))
         return self._finalize(states, cap)
 
-    def _spatial_advance(self, weights, cap0, states, unroll):
+    def _spatial_advance(self, weights, cap0, states, unroll,
+                         capture_state=False):
         """Combined sweep x space execution (2-D mesh): device inputs +
         an advance(states, cap, k) closure."""
         from jax.sharding import NamedSharding
@@ -288,7 +319,7 @@ class ParameterSweep:
                 f"B={self.B} not divisible by {mesh.shape[sw]} sweep shards")
         _, (consts_spec, state_spec, cap_spec, w_spec) = \
             _spatial_sweep_runner(mesh, sw, sp, self.in_axes, self.n_steps,
-                                  unroll)
+                                  unroll, capture_state)
         # host numpy -> global sharded arrays (multi-host safe, as in run())
         put = lambda x, p: jax.device_put(  # noqa: E731
             np.asarray(x), NamedSharding(mesh, p))
@@ -303,7 +334,7 @@ class ParameterSweep:
 
         def advance(st, cp, k):
             run, _ = _spatial_sweep_runner(mesh, sw, sp, self.in_axes, k,
-                                           unroll)
+                                           unroll, capture_state)
             return run(consts, st, cp, w)
 
         return advance, states, cap0
@@ -327,8 +358,9 @@ class ParameterSweep:
         # process 0 touches the filesystem afterwards
         data = {f"state_{k}": self._fetch(v)
                 for k, v in states._asdict().items()}
-        data.update({f"cap_{k}": self._fetch(cap[k])
-                     for k in self._CAP_KEYS})
+        # all live capture keys, including the (B, NHP, MP) a/b snapshots
+        # when the sweep was started with capture_state (sweep frames)
+        data.update({f"cap_{k}": self._fetch(cap[k]) for k in cap})
         if jax.process_index() != 0:
             return
         for k, v in self.params.items():
@@ -341,8 +373,17 @@ class ParameterSweep:
         np.savez_compressed(tmp, **data)     # savez keeps an .npz name
         os.replace(tmp, path)
 
-    def _load_checkpoint(self, path):
+    def _load_checkpoint(self, path, capture_state=False):
         z = np.load(path)
+        expected_cap = set(self._CAP_KEYS) | (
+            {"a", "b"} if capture_state else set())
+        saved_cap = {k[len("cap_"):] for k in z.files
+                     if k.startswith("cap_")}
+        if saved_cap != expected_cap:
+            raise ValueError(
+                f"sweep checkpoint capture keys {sorted(saved_cap)} do not "
+                f"match this run's {sorted(expected_cap)} (frames mode "
+                f"mismatch — resume with the same frames-dir setting)")
         if int(z["n_steps"]) != self.n_steps:
             raise ValueError(
                 f"sweep checkpoint ran {int(z['n_steps'])} total steps; "
@@ -377,7 +418,7 @@ class ParameterSweep:
             raise ValueError(
                 f"sweep checkpoint dtype {states.a.dtype} does not match "
                 f"the dtype= setting ({np.dtype(self.base.np_dtype).name})")
-        cap = {k: z[f"cap_{k}"] for k in self._CAP_KEYS}
+        cap = {k: z[f"cap_{k}"] for k in sorted(saved_cap)}
         return states, cap, int(z["done"])
 
     @staticmethod

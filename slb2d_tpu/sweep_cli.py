@@ -14,6 +14,12 @@ are display-4 semantics) plus any number of
 Multiple sweep axes form the cartesian product.  Output: one line per
 point with all six physics parameters and the display-4 observables.
 
+`frames-dir=DIR` additionally writes each point's final distribution
+f(phi_x, phi_y) — captured at that point's own loop exit even when points
+run different period lengths — as DIR/grid%02d/point%04d.data files in
+the display-7 triplet format, plus an index.txt of point parameters (the
+per-point analogue of the single-run frame modes).
+
 Interactive refinement (`read-from=stdin`, the sweep analogue of the
 reference's parameter server, src/boltzmann_cli.c:71-91): after each
 grid's results are written, one line of new `sweep:` specs (optionally
@@ -57,8 +63,45 @@ HEADER = ("#E_dc E_omega omega mu alpha B "
           "v_dr_av v_y_av m_over_m_x_av A Asin "
           "v_dr_inst v_y_inst m_over_m_x_inst norm\n")
 
+PARAM_ORDER = ("E_dc", "E_omega", "omega", "mu", "alpha", "B")
 
-def _run_one_grid(cfg, sweeps, out):
+
+def _write_point_frames(cfg, sweep, res, frames_dir, grid_no):
+    """Per-point final-distribution frames (`frames-dir=`): each sweep
+    point's f(phi_x, phi_y) at its own loop exit, reconstructed from the
+    captured (a, b) arrays in the display-7 triplet format
+    (reference print_2d_data, src/boltzmann_c_solver.c:334-353), one file
+    per point plus an index.txt mapping points to parameter values.
+    Refinement grids go to separate grid%02d subdirectories."""
+    import os
+
+    from .io import writers
+    from .ops.frames import FrameReconstructor
+
+    a, b = sweep.final_ab
+    d = os.path.join(frames_dir, f"grid{grid_no:02d}")
+    os.makedirs(d, exist_ok=True)
+    m = sweep.base
+    recon = FrameReconstructor(m)        # tables are parameter-independent
+    m_lo, m_hi = 1, m.M + 2              # display-7 frame bounds
+    p = sweep.params
+    with open(os.path.join(d, "index.txt"), "w") as idx:
+        idx.write("#point " + " ".join(PARAM_ORDER) + "\n")
+        for i in range(sweep.B):
+            vals = [p[k][i] if k in p else getattr(cfg, k)
+                    for k in PARAM_ORDER]
+            idx.write(f"{i:04d} "
+                      + " ".join(f"{float(v):.12e}" for v in vals) + "\n")
+            with open(os.path.join(d, f"point{i:04d}.data"), "w") as fh:
+                fh.write("# " + " ".join(
+                    f"{k}={float(v):.12e}"
+                    for k, v in zip(PARAM_ORDER, vals)) + "\n")
+                F = recon.reconstruct(a[i], b[i], m_lo, m_hi)
+                writers._write_xy_rows(fh, recon.phi_x, m.phi[m_lo:m_hi], F)
+                fh.write(f"# norm={writers.f20(res['norm'][i])}\n")
+
+
+def _run_one_grid(cfg, sweeps, out, frames_dir=None, grid_no=0):
     """Build, run, and write one sweep grid; returns the point count."""
     import jax
 
@@ -98,12 +141,15 @@ def _run_one_grid(cfg, sweeps, out):
     # checkpoint= saves the batch state every steps-per-chunk steps (and
     # at the end); resume= continues an interrupted sweep of the same grid
     kw = dict(checkpoint=cfg.checkpoint, resume=cfg.resume,
-              checkpoint_every=cfg.steps_per_chunk)
+              checkpoint_every=cfg.steps_per_chunk,
+              capture_state=frames_dir is not None)
     if cfg.profile_dir:
         with jax.profiler.trace(cfg.profile_dir):
             res = sweep.run(**kw)
     else:
         res = sweep.run(**kw)
+    if frames_dir is not None:
+        _write_point_frames(cfg, sweep, res, frames_dir, grid_no)
 
     out.write(HEADER)
     p = sweep.params
@@ -185,6 +231,13 @@ def _read_refinement(cfg, stream):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    # frames-dir=DIR: per-point final-distribution frames for every grid
+    # of the session (a sweep-only key, extracted before config parsing)
+    frames_dir = None
+    for tok in list(argv):
+        if tok.startswith("frames-dir="):
+            frames_dir = tok[len("frames-dir="):] or None
+            argv.remove(tok)
     sweeps, rest = parse_sweep_args(argv)
     if not sweeps:
         print("ERROR: no sweep: axes given.", file=sys.stderr)
@@ -205,7 +258,7 @@ def main(argv=None):
     out = cfgmod.open_out(cfg)
     try:
         try:
-            _run_one_grid(cfg, sweeps, out)
+            _run_one_grid(cfg, sweeps, out, frames_dir, 0)
         except ValueError as e:   # unsweepable axis, shard indivisibility
             print(f"ERROR: {e}", file=sys.stderr)
             return 1
@@ -214,13 +267,15 @@ def main(argv=None):
         # wins)
         cfg = cfg.replace(resume=None)
         # interactive refinement loop (read-from=stdin)
+        grid_no = 0
         while cfg.read_from == "stdin":
             nxt = _read_refinement(cfg, sys.stdin)
             if nxt is None:
                 break
             cfg, sweeps = nxt
+            grid_no += 1
             try:
-                _run_one_grid(cfg, sweeps, out)
+                _run_one_grid(cfg, sweeps, out, frames_dir, grid_no)
             except ValueError as e:          # e.g. unsweepable axis name
                 print(f"ERROR: {e}", file=sys.stderr)
     finally:
