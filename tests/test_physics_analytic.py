@@ -71,6 +71,82 @@ def test_esaki_tsu_drift_characteristic():
     np.testing.assert_array_equal(res["A"], 0.0)
 
 
+def test_small_signal_absorption_matches_linear_response():
+    """The ac absorption quadratures against linear-response theory.
+
+    With B=0 the n=1 harmonic pair obeys dz/dt = a0 - z + i E(t) z for
+    z = a_1 + i b_1.  For E(t) = E0 + eps*cos(wt), first order in eps:
+
+        z0  = a0 / (1 - i E0)
+        dz  = i (eps/2) z0 [ e^{iwt}/d+  +  e^{-iwt}/d- ],  d± = 1 - iE0 ± iw
+
+    and with v_dr(t) = 2 Im z(t) / integral(a0) the period-averaged
+    quadratures (reference av(), src/boltzmann_c_solver.c:433-434) become
+
+        A    = <cos(wt) v_dr> = (eps/2) Re[ z0' (1/d+ + 1/d-) ]
+        Asin = <sin(wt) v_dr> = -(eps/2) Im[ z0' (1/d+ - 1/d-) ]
+
+    with z0' = 1/(1 - i E0).  (Check: E0=0 gives the Drude absorption
+    A = eps/(1+w^2) > 0.)
+
+    One subtlety makes the closed forms unusable directly: the engine's
+    averaging window is one period QUANTIZED to whole steps (the gate
+    t in [t_start, t_end) of a float time accumulation), so the huge
+    zeroth-order term cos(wt)*v_bar does not integrate to exactly zero —
+    it leaves a quantization residue ~ v_bar*dt/T that can reach several
+    percent of A.  The honest expectation is therefore the DISCRETE
+    quadrature of the analytic trajectory over the engine's own sampling:
+    cos/sin at the pre-step t, v_dr evaluated at the post-step t+dt
+    (ops/stencil.av_update sampling), summed over the gated steps.  This
+    pins the whole ac pipeline — time-dependent drive, averaging window,
+    quadratures, 1/T normalization — against linear-response theory with
+    only O(eps^2) and O((w dt)^2) residuals."""
+    eps = 0.02
+    e0 = 0.8
+    omegas = np.array([0.5, 1.0, 2.0])
+    dt = 2e-3
+    t_start = CFG["t_start"]
+    cfg = SimConfig(**{**CFG, "E_dc": e0, "E_omega": eps, "dt": dt})
+    sw = ParameterSweep(cfg, {"omega": omegas})
+    res = sw.run()
+
+    z0p = 1.0 / (1.0 - 1j * e0)
+
+    def v_dr_analytic(t, w):
+        dpl = 1.0 - 1j * e0 + 1j * w
+        dmi = 1.0 - 1j * e0 - 1j * w
+        dz = 1j * (eps / 2) * z0p * (np.exp(1j * w * t) / dpl
+                                     + np.exp(-1j * w * t) / dmi)
+        return 2 * np.imag(z0p + dz)
+
+    expected_A = np.empty(3)
+    expected_Asin = np.empty(3)
+    for i, (w, model) in enumerate(zip(omegas, sw.models)):
+        T = float(model.T)
+        t_end = np.float64(t_start + T)
+        # the engine's sequential f64 time accumulation from t=0
+        t = np.float64(0.0)
+        ts = []
+        for _ in range(sw.n_steps):
+            ts.append(t)
+            t = np.float64(t + dt)
+        ts = np.asarray(ts)
+        gate = (ts >= t_start) & (ts < t_end)
+        tg = ts[gate]
+        v = v_dr_analytic(tg + dt, w)           # post-step arrays
+        expected_A[i] = np.sum(np.cos(w * tg) * v * dt) / T
+        expected_Asin[i] = np.sum(np.sin(w * tg) * v * dt) / T
+
+    # atol covers near-zero crossings (Asin(w=1) ~ 4e-5) where the
+    # O(eps^3)/O((w dt)^2) residual exceeds any relative bound
+    np.testing.assert_allclose(res["A"], expected_A, rtol=2e-3, atol=5e-7)
+    np.testing.assert_allclose(res["Asin"], expected_Asin, rtol=2e-3,
+                               atol=5e-7)
+    # the averaged drift velocity is the dc characteristic + O(eps^2)
+    np.testing.assert_allclose(res["v_dr_av"], 2 * e0 / (1 + e0**2),
+                               rtol=1e-3)
+
+
 def test_steady_state_is_dt_independent():
     """The CN fixed point is exact for ANY stable dt: two very different
     step sizes must land on the same steady state (the discretization
