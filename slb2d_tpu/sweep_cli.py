@@ -63,7 +63,12 @@ HEADER = ("#E_dc E_omega omega mu alpha B "
           "v_dr_av v_y_av m_over_m_x_av A Asin "
           "v_dr_inst v_y_inst m_over_m_x_inst norm\n")
 
-PARAM_ORDER = ("E_dc", "E_omega", "omega", "mu", "alpha", "B")
+def _point_params(cfg, params, i):
+    """The six physics parameters of point i (swept value or cfg scalar),
+    in SWEEPABLE order — one source for the table, index and headers."""
+    from .parallel.sweep import SWEEPABLE
+    return [(k, float(params[k][i]) if k in params else
+             float(getattr(cfg, k))) for k in SWEEPABLE]
 
 
 def _write_point_frames(cfg, sweep, res, frames_dir, grid_no):
@@ -75,27 +80,32 @@ def _write_point_frames(cfg, sweep, res, frames_dir, grid_no):
     Refinement grids go to separate grid%02d subdirectories."""
     import os
 
+    import jax
+
     from .io import writers
     from .ops.frames import FrameReconstructor
+    from .parallel.sweep import SWEEPABLE
 
+    if jax.process_index() != 0:
+        # multi-host sweeps: final_ab is allgathered, so process 0's files
+        # are complete — only it touches the filesystem (the
+        # _save_checkpoint convention)
+        return
     a, b = sweep.final_ab
     d = os.path.join(frames_dir, f"grid{grid_no:02d}")
     os.makedirs(d, exist_ok=True)
     m = sweep.base
     recon = FrameReconstructor(m)        # tables are parameter-independent
     m_lo, m_hi = 1, m.M + 2              # display-7 frame bounds
-    p = sweep.params
     with open(os.path.join(d, "index.txt"), "w") as idx:
-        idx.write("#point " + " ".join(PARAM_ORDER) + "\n")
+        idx.write("#point " + " ".join(SWEEPABLE) + "\n")
         for i in range(sweep.B):
-            vals = [p[k][i] if k in p else getattr(cfg, k)
-                    for k in PARAM_ORDER]
+            kv = _point_params(cfg, sweep.params, i)
             idx.write(f"{i:04d} "
-                      + " ".join(f"{float(v):.12e}" for v in vals) + "\n")
+                      + " ".join(f"{v:.12e}" for _, v in kv) + "\n")
             with open(os.path.join(d, f"point{i:04d}.data"), "w") as fh:
                 fh.write("# " + " ".join(
-                    f"{k}={float(v):.12e}"
-                    for k, v in zip(PARAM_ORDER, vals)) + "\n")
+                    f"{k}={v:.12e}" for k, v in kv) + "\n")
                 F = recon.reconstruct(a[i], b[i], m_lo, m_hi)
                 writers._write_xy_rows(fh, recon.phi_x, m.phi[m_lo:m_hi], F)
                 fh.write(f"# norm={writers.f20(res['norm'][i])}\n")
@@ -148,19 +158,17 @@ def _run_one_grid(cfg, sweeps, out, frames_dir=None, grid_no=0):
             res = sweep.run(**kw)
     else:
         res = sweep.run(**kw)
-    if frames_dir is not None:
-        _write_point_frames(cfg, sweep, res, frames_dir, grid_no)
-
     out.write(HEADER)
-    p = sweep.params
     for i in range(B):
-        vals = [p[k][i] if k in p else getattr(cfg, k)
-                for k in ("E_dc", "E_omega", "omega", "mu", "alpha", "B")]
+        vals = [v for _, v in _point_params(cfg, sweep.params, i)]
         obs = [res[k][i] for k in (
             "v_dr_av", "v_y_av", "m_over_m_x_av", "A", "Asin",
             "v_dr_inst", "v_y_inst", "m_over_m_x_inst", "norm")]
         out.write(" ".join(f"{float(v):.12e}" for v in vals + obs) + "\n")
     out.flush()
+    # after the table: a failing frames write must not cost the results
+    if frames_dir is not None:
+        _write_point_frames(cfg, sweep, res, frames_dir, grid_no)
     return B
 
 
@@ -238,6 +246,15 @@ def main(argv=None):
         if tok.startswith("frames-dir="):
             frames_dir = tok[len("frames-dir="):] or None
             argv.remove(tok)
+    if frames_dir is not None:
+        import os
+        try:
+            # fail BEFORE the sweep runs, not after hours of compute
+            os.makedirs(frames_dir, exist_ok=True)
+        except OSError as e:
+            print(f"ERROR: cannot create frames-dir={frames_dir!r}: {e}",
+                  file=sys.stderr)
+            return 1
     sweeps, rest = parse_sweep_args(argv)
     if not sweeps:
         print("ERROR: no sweep: axes given.", file=sys.stderr)
@@ -273,9 +290,11 @@ def main(argv=None):
             if nxt is None:
                 break
             cfg, sweeps = nxt
-            grid_no += 1
             try:
-                _run_one_grid(cfg, sweeps, out, frames_dir, grid_no)
+                # grid numbering stays dense: a rejected grid must not
+                # consume a frames grid%02d slot
+                _run_one_grid(cfg, sweeps, out, frames_dir, grid_no + 1)
+                grid_no += 1
             except ValueError as e:          # e.g. unsweepable axis name
                 print(f"ERROR: {e}", file=sys.stderr)
     finally:
