@@ -147,6 +147,32 @@ def test_small_signal_absorption_matches_linear_response():
                                rtol=1e-3)
 
 
+def test_full_distribution_matches_analytic_steady_state():
+    """Per-element pin of the ENTIRE steady-state distribution via the
+    sweep state capture: for dc drive at B=0 every harmonic row must relax
+    to a_n(phi) = a0_n(phi) / (1 + (nE)^2), b_n = nE * a_n — at every
+    phi_y grid point, not just in the integrated observables."""
+    e = 1.2
+    cfg = SimConfig(**CFG)
+    sw = ParameterSweep(cfg, {"E_dc": np.array([e])})
+    sw.run(capture_state=True)
+    a, b = sw.final_ab[0][0], sw.final_ab[1][0]
+
+    m0 = sw.base
+    n = np.arange(m0.NHP)[:, None]
+    expected_a = m0.a0 / (1 + (n * e) ** 2)
+    expected_b = n * e * expected_a
+    # interior only: the main grid writes rows n < N and columns
+    # m = 1..M+1; ghost cells carry the reference's parity artifacts
+    rows = slice(0, m0.N)
+    cols = slice(1, m0.M + 2)
+    scale = np.abs(m0.a0[rows, cols]).max()
+    np.testing.assert_allclose(a[rows, cols], expected_a[rows, cols],
+                               rtol=1e-7, atol=1e-13 * scale)
+    np.testing.assert_allclose(b[rows, cols], expected_b[rows, cols],
+                               rtol=1e-7, atol=1e-13 * scale)
+
+
 def test_steady_state_is_dt_independent():
     """The CN fixed point is exact for ANY stable dt: two very different
     step sizes must land on the same steady state (the discretization
