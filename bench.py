@@ -146,7 +146,7 @@ def bench_sweep(B=64, K=1000, reps=6, N=40, M=500):
         do_av = (c.E_omega > 0) & (st.t >= c.t_start) & (st.t < c.t_end)
         return _st.full_step(c, st, trig, do_av)
 
-    unroll = _st.default_scan_unroll()
+    unroll = 1        # the production sweep setting (parallel/sweep.py)
 
     def run_all(consts, states):
         def body(st, _):

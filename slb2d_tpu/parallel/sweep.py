@@ -98,6 +98,23 @@ def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll,
                         unroll=unroll)[0]
 
 
+@functools.partial(jax.jit, static_argnames=("in_axes",))
+def _bootstrap_batch(consts, a, cos_wdt, *, in_axes):
+    """Vmapped tiptoe first half-step (stencil.bootstrap_state semantics)
+    for a whole batch in ONE device program.  Building B initial states
+    with per-point eager ops costs B * ~20 dispatch round trips — on a
+    high-latency TPU link that dwarfs everything else in a sweep's cold
+    start (measured: ~250 s of a 64-point first grid on this box's
+    tunnel, vs ~3 s for the actual scan compile)."""
+    def one(c, a_i, cw):
+        b = jnp.zeros_like(a_i)
+        a_hs, b_hs = stencil.apply_half_step(
+            c, a_i, b, a_i, b, jnp.ones((), a_i.dtype), cw, main=True)
+        return a_hs, b_hs
+
+    return jax.vmap(one, in_axes=(in_axes, 0, 0))(consts, a, cos_wdt)
+
+
 @functools.lru_cache(maxsize=None)
 def _spatial_sweep_runner(mesh, sweep_axis, space_axis, in_axes, n_steps,
                           unroll, capture_state=False):
@@ -163,8 +180,12 @@ class ParameterSweep:
         self.mesh = mesh
         self.axis = axis
         self.space_axis = space_axis
-        arrs = jnp.broadcast_arrays(*[np.asarray(v, np.float64)
-                                      for v in params.values()])
+        # numpy, NOT jnp: this is host bookkeeping — a jnp call here
+        # round-trips the parameter grid through the accelerator (measured
+        # 35-160 s of a 64-point sweep's cold start on a high-latency
+        # TPU tunnel: device dispatch + fetch of a host-only array)
+        arrs = np.broadcast_arrays(*[np.asarray(v, np.float64)
+                                     for v in params.values()])
         flat = [np.ravel(np.asarray(a)) for a in arrs]
         self.B = len(flat[0]) if flat else 1
         self.params = dict(zip(params.keys(), flat))
@@ -209,14 +230,26 @@ class ParameterSweep:
     # -- device program -------------------------------------------------------
 
     def _initial_states(self):
-        axes = self.in_axes._asdict()
-        states = []
-        for i, m in enumerate(self.models):
-            fields = {k: (v[i] if axes[k] == 0 else v)
-                      for k, v in self.consts._asdict().items()}
-            ci = stencil.StencilConsts(**fields)
-            states.append(stencil.bootstrap_state(ci, m))
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        """Batched bootstrap: a <- a0, b <- 0, one vmapped tiptoe
+        half-step (the numerics of stencil.bootstrap_state, reference
+        src/boltzmann_c_solver.c:136-145, point by point)."""
+        D = self.base.np_dtype
+        a = jnp.asarray(np.stack([m.initial_a() for m in self.models]))
+        # cos(omega*dt) through the reference's float->double->float
+        # rounding, per point (bootstrap_state's cos_wdt)
+        cos_wdt = jnp.asarray(np.array(
+            [D(np.cos(np.float64(D(m.omega) * D(m.dt))))
+             for m in self.models], D))
+        a_hs, b_hs = _bootstrap_batch(self.consts, a, cos_wdt,
+                                      in_axes=self.in_axes)
+        B, NHP = self.B, self.base.NHP
+        zc = jnp.zeros((B, NHP), D)
+        return stencil.State(
+            a=a, b=jnp.zeros_like(a), a_hs=a_hs, b_hs=b_hs,
+            hs_edge_a=zc, hs_edge_b=zc,
+            av=jnp.zeros((B, 8), D),
+            t=jnp.zeros((B,), D),
+            step=jnp.zeros((B,), jnp.int32))
 
     def run(self, checkpoint=None, resume=None, checkpoint_every=0,
             capture_state=False):
@@ -237,7 +270,12 @@ class ParameterSweep:
         resume = resume or None
         D = self.base.np_dtype
         in_axes = self.in_axes
-        unroll = stencil.default_scan_unroll()
+        # unroll=1, NOT default_scan_unroll(): the batch axis already
+        # saturates the VPU, so unrolling only bloats the scan body —
+        # measured on the chip (tests/perf/sweep_compile_experiment.py,
+        # 64-pt BASELINE #2): unroll=1 2.12e10 vs unroll=4 1.77e10 agg
+        # updates/s, stable +-1% over alternating reps
+        unroll = 1
         weights = dict(
             w_d4=jnp.asarray(self.base.w_d4),
             w_d4_phi=jnp.asarray(self.base.w_d4_phi),
