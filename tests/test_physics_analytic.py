@@ -173,6 +173,34 @@ def test_full_distribution_matches_analytic_steady_state():
                                rtol=1e-7, atol=1e-13 * scale)
 
 
+def test_mirror_symmetry_of_magnetic_coupling():
+    """The dynamics are invariant under (phi_y -> -phi_y, B -> -B): the
+    drive term n*(E + B*phi_y) is unchanged and the bdt neighbor coupling
+    flips sign twice (bdt ~ B, and the m+1/m-1 difference mirrors).  With
+    the symmetric Gaussian initial condition this forces
+
+        a_B[n, m] == a_{-B}[n, M+2-m]   (same for b)
+
+    exactly in real arithmetic — a pin on the full magnetic stencil path
+    (cross-harmonic, cross-column) that the B=0 closed forms cannot
+    reach.  Float residue: phi(m') != -phi(m) at ulp level only."""
+    cfg = SimConfig(**{**CFG, "E_omega": 1.5, "B": 0.4, "t_start": 1.0})
+    sw = ParameterSweep(cfg, {"B": np.array([0.4, -0.4])})
+    sw.run(capture_state=True)
+    a, b = sw.final_ab
+    m0 = sw.base
+    M = m0.M
+    # mirror the live column range m = 0..M+2 (ghosts included)
+    mirror = np.arange(M + 3)[::-1]
+    for arr, name in ((a, "a"), (b, "b")):
+        plus = arr[0][:, :M + 3]
+        minus_mirrored = arr[1][:, mirror]
+        np.testing.assert_allclose(plus, minus_mirrored, rtol=1e-10,
+                                   atol=1e-14, err_msg=name)
+    # non-degeneracy: the field actually did something asymmetric
+    assert np.abs(a[0] - a[1]).max() > 1e-6
+
+
 def test_steady_state_is_dt_independent():
     """The CN fixed point is exact for ANY stable dt: two very different
     step sizes must land on the same steady state (the discretization
