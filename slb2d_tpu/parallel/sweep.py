@@ -243,10 +243,13 @@ class ParameterSweep:
         a_hs, b_hs = _bootstrap_batch(self.consts, a, cos_wdt,
                                       in_axes=self.in_axes)
         B, NHP = self.B, self.base.NHP
-        zc = jnp.zeros((B, NHP), D)
+        # distinct buffers per field: callers may donate the whole State
+        # (bench.py's sweep bench does), and a buffer aliased into two
+        # donated arguments is rejected
         return stencil.State(
             a=a, b=jnp.zeros_like(a), a_hs=a_hs, b_hs=b_hs,
-            hs_edge_a=zc, hs_edge_b=zc,
+            hs_edge_a=jnp.zeros((B, NHP), D),
+            hs_edge_b=jnp.zeros((B, NHP), D),
             av=jnp.zeros((B, 8), D),
             t=jnp.zeros((B,), D),
             step=jnp.zeros((B,), jnp.int32))

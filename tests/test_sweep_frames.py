@@ -91,6 +91,19 @@ def test_frames_cli_writes_reconstructed_points(tmp_path, monkeypatch):
         np.testing.assert_allclose(got, F[7], rtol=1e-15, atol=5e-21)
 
 
+def test_initial_states_buffers_are_donation_safe():
+    """Every array in the batched initial State must own a distinct
+    buffer: callers may donate the whole State (bench.py's sweep bench
+    does), and one buffer aliased into two donated arguments is rejected
+    by the TPU runtime (regression: hs_edge_a/hs_edge_b shared one
+    zeros array)."""
+    sw = ParameterSweep(SimConfig(**BASE), {"E_dc": np.array([0.5, 1.5])})
+    st = sw._initial_states()
+    ptrs = [leaf.unsafe_buffer_pointer()
+            for leaf in st if hasattr(leaf, "unsafe_buffer_pointer")]
+    assert len(ptrs) == len(set(ptrs)), "aliased buffers in initial State"
+
+
 def test_frames_checkpoint_resume_roundtrip(tmp_path):
     """capture_state rides the sweep checkpoint: a resumed frames run
     equals an uninterrupted one, and a frames/no-frames mismatch is
