@@ -51,7 +51,8 @@ SCALAR_FIELDS = ("E_dc", "E_omega", "omega", "B", "dt", "nu", "nu2",
                  "nu_tilde", "bdt", "t_start", "t_end")
 
 
-def _kernel(xs_ref,                     # SMEM (K, 8)
+def _kernel(meta_ref,                   # SMEM (2,) i32: n_steps, parity0
+            xs_ref,                     # SMEM (CAP, 8); rows >= n unused
             av_ref,                     # SMEM (8,)
             params_ref,                 # SMEM (16,) physics scalars
             a_ref, b_ref, ahs_ref, bhs_ref,       # VMEM states (aliased out)
@@ -59,15 +60,19 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
             wav_ref, wavphi_ref, rowup_ref, colmain_ref, colhalf_ref,
             coledge_ref, aghost_ref, edges_ref,
             a_out, b_out, ahs_out, bhs_out, edges_out, av_out,
-            *, n_steps: int, parity0: int, unroll: int, edge_col: int):
-    """Run n_steps full solver steps in VMEM.
+            *, unroll: int, edge_col: int):
+    """Run meta_ref[0] full solver steps in VMEM.
 
     Mosaic wants >=2-D vector layouts, so the vector/scalar bookkeeping of
     stencil.full_step is restated here in 2-D/SMEM form; the stencil math
     itself is stencil.apply_half_step, shared verbatim.  Physics scalars
-    arrive in SMEM (params_ref, SCALAR_FIELDS order), so one compiled
-    kernel serves every parameter set of a given shape — the REPL re-uses
-    it instead of recompiling per mutation.
+    arrive in SMEM (params_ref, SCALAR_FIELDS order) and the step count /
+    parity in SMEM (meta_ref), so ONE compiled kernel serves every
+    parameter set, chunk length and parity of a given shape — the REPL
+    swaps parameters and the driver runs main and tail chunks without
+    recompiling (measured: each Mosaic compile at the flagship shape
+    costs tens of seconds; the old per-(n_steps, parity) keying compiled
+    4 of them per run).
     """
     # move state into the aliased output refs once; av into SMEM out
     a_out[:] = a_ref[:]
@@ -125,7 +130,7 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
             mus=(mu_main, mu1_main))
         # parity ghost fill (main buffer 0 keeps a0 ghost cells): scalar
         # 0/1 gate * table + add — FMA-fusable, no full-array select
-        ghost_on = ((i + np.int32(parity0 + 1)) % np.int32(2)) == 0
+        ghost_on = ((i + meta_ref[1] + np.int32(1)) % np.int32(2)) == 0
         gf = jnp.where(ghost_on, jnp.ones((), dtype), zero)
         a_new = a_new + gf * consts.a0_ghost
 
@@ -189,11 +194,12 @@ def _kernel(xs_ref,                     # SMEM (K, 8)
             carry = do_step(i + np.int32(k), carry)
         return carry
 
+    n = meta_ref[0]                              # traced i32 step count
+    n_by = n // np.int32(unroll)
     carry = mu_of(xs_ref[np.int32(0), 0])
-    carry = jax.lax.fori_loop(np.int32(0), np.int32(n_steps // unroll),
-                              body, carry)
-    for r in range(n_steps - (n_steps // unroll) * unroll):
-        carry = do_step(np.int32((n_steps // unroll) * unroll + r), carry)
+    carry = jax.lax.fori_loop(np.int32(0), n_by, body, carry)
+    # tail: up to unroll-1 single steps with a dynamic bound
+    carry = jax.lax.fori_loop(n_by * np.int32(unroll), n, do_step, carry)
 
 
 def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
@@ -224,21 +230,20 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
     wav2 = np.asarray(c.w_av, D).reshape(1, MP)
     wavphi2 = np.asarray(c.w_av_phi, D).reshape(1, MP)
 
-    @functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=0)
-    def run(state: stencil.State, xs_table, params_arg, n_steps: int,
-            parity0: int):
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state: stencil.State, xs_table, params_arg, meta):
         edges = jnp.zeros((NHP, 128), D)
         edges = edges.at[:, 0].set(state.hs_edge_a)
         edges = edges.at[:, 1].set(state.hs_edge_b)
         av = jnp.asarray(state.av)   # (8,) incl. Kahan compensations
 
         kernel = functools.partial(
-            _kernel, n_steps=n_steps, parity0=parity0,
+            _kernel,
             unroll=8 if NHP * MP >= (64 * 1024) else 1,
             edge_col=model.M + 1)
         outs = pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 +
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 +
                       [pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -250,11 +255,11 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
                 jax.ShapeDtypeStruct((NHP, 128), D),  # edges
                 jax.ShapeDtypeStruct((8,), D),        # av (SMEM)
             ],
-            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 19: 4},
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 20: 4},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(xs_table, av, params_arg,
+        )(meta, xs_table, av, params_arg,
           state.a, state.b, state.a_hs, state.b_hs,
           jnp.asarray(c.a0), phi2, jnp.asarray(c.n_float),
           jnp.asarray(c.n_ge2), jnp.asarray(c.w_n), wav2,
@@ -263,28 +268,34 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
           jnp.asarray(f_masks["coledge"]), jnp.asarray(c.a0_ghost),
           edges)
         a, b, ahs, bhs, edges_o, av_o = outs
-        # t continues exactly: last scheduled loop t plus one f32 dt,
-        # identical to the C driver's sequential accumulation
-        t_next = xs_table[-1, 7] + D(c.dt)
+        # t continues exactly: last EXECUTED row's loop t plus one f32 dt,
+        # identical to the C driver's sequential accumulation (the table
+        # may carry padding rows past meta[0])
+        t_next = xs_table[meta[0] - 1, 7] + D(c.dt)
         return stencil.State(
             a=a, b=b, a_hs=ahs, b_hs=bhs,
             hs_edge_a=edges_o[:, 0], hs_edge_b=edges_o[:, 1], av=av_o,
-            t=t_next, step=state.step + n_steps)
+            t=t_next, step=state.step + meta[0])
 
     class Runner:
         """Stateful wrapper tracking step parity and loop t host-side so no
         per-chunk device scalar fetches are needed (each costs a tunnel
-        round trip).  Physics scalars live in an SMEM vector, so
-        update_consts swaps parameter sets WITHOUT recompiling — the
-        parameter-server REPL reuses the compiled kernel across mutations
-        (a0/bdt are frozen there per docs/DEVIATIONS.md D11, and
-        masks/shapes never change)."""
+        round trip).  Physics scalars live in an SMEM vector and the
+        (n_steps, parity) pair in an SMEM meta vector, so update_consts
+        swaps parameter sets and chunks of ANY length <= the padded table
+        capacity reuse one compiled kernel — the parameter-server REPL
+        and the driver's main/tail chunks never recompile (a0/bdt are
+        frozen per docs/DEVIATIONS.md D11, and masks/shapes never
+        change).  The xs table is padded to a rounded-up capacity; a
+        bigger chunk grows the capacity (one recompile, then stable)."""
 
         def __init__(self):
             self.step0 = 0
             self.t0 = 0.0
             self.c = c
             self.params = params
+            self._cap = 0
+            self._jit_run = run          # exposed for compile-count tests
 
         def update_consts(self, c_new):
             self.c = c_new
@@ -293,12 +304,27 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
                 p[i] = D(getattr(c_new, name))
             self.params = p
 
+        def _padded(self, xs):
+            n = xs.shape[0]
+            if n > self._cap:
+                # round up so nearby chunk lengths share one capacity
+                self._cap = -(-n // 256) * 256
+            if n < self._cap:
+                xs = np.concatenate(
+                    [xs, np.zeros((self._cap - n, XS_LANES), D)])
+            return xs
+
+        def _run(self, state, xs, n, parity0):
+            meta = jnp.asarray(np.array([n, parity0], np.int32))
+            return run(state, self._padded(xs), self.params, meta)
+
         def __call__(self, state, n_steps):
             xs = build_xs_table(model, self.c, self.t0, self.step0, n_steps,
                                 av_enabled=av_enabled, exact=exact_trig)
-            out = run(state, xs, self.params, n_steps, self.step0 % 2)
+            t_last = xs[-1, 7]
+            out = self._run(state, xs, n_steps, self.step0 % 2)
             self.step0 += n_steps
-            self.t0 = float(D(xs[-1, 7] + D(self.c.dt)))
+            self.t0 = float(D(t_last + D(self.c.dt)))
             return out
 
         def run_xs(self, state, xs_dict, parity0):
@@ -314,7 +340,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             xs[:, 5] = xs_dict["sin_av"]
             xs[:, 6] = xs_dict["do_av"].astype(D)
             xs[:, 7] = xs_dict["t"]
-            return run(state, xs, self.params, n, parity0)
+            return self._run(state, xs, n, parity0)
 
     return Runner()
 

@@ -97,3 +97,22 @@ def test_pallas_parity_ghost_cells():
     out = runner(out, 1)
     a = np.asarray(out.a)   # 14 steps: buffer 0, ghost col 0 = a0 col 0
     np.testing.assert_array_equal(a[:, 0], model.a0[:, 0])
+
+
+def test_pallas_one_compile_serves_all_chunk_lengths():
+    """n_steps and parity live in SMEM meta, and xs tables pad to a
+    rounded capacity: chunks of different lengths and parities must share
+    ONE jitted executable (the driver's main/tail chunks; measured tens
+    of seconds per extra Mosaic compile at flagship shapes)."""
+    cfg, model, c = build()
+    runner = make_pallas_runner(c, model)
+    out = runner(stencil.bootstrap_state(c, model), 40)
+    out = runner(out, 17)            # different length AND parity
+    out = runner(out, 199)           # still under the 256-row capacity
+    assert runner._cap == 256
+    assert runner._jit_run._cache_size() == 1
+    # state advanced 256 steps total with correct t accumulation
+    assert int(out.step) == 256
+    np.testing.assert_allclose(float(out.t), 256 * float(model.dt),
+                               rtol=1e-5)
+    assert np.all(np.isfinite(np.asarray(out.a)))
