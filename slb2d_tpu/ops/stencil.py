@@ -32,6 +32,7 @@ so float32 runs pin against the C solver:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -178,6 +179,17 @@ def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
     return a_new, b_new
 
 
+@functools.partial(jax.jit, donate_argnums=())
+def _bootstrap_tiptoe(c: StencilConsts, a, cos_wdt):
+    """The tiptoe first half-step as ONE device program: the eager
+    op-by-op version costs ~20 dispatch round trips, which dominates
+    driver start-up on a high-latency TPU link (~9.5 s measured at the
+    flagship shape on a tunnel-attached chip)."""
+    b = jnp.zeros_like(a)
+    return apply_half_step(c, a, b, a, b, jnp.ones((), a.dtype), cos_wdt,
+                           main=True)
+
+
 def bootstrap_state(c: StencilConsts, model) -> State:
     """Initial state: a = a0, b = 0, plus the tiptoe first half-step
     (reference: src/boltzmann_c_solver.c:136-145)."""
@@ -186,9 +198,8 @@ def bootstrap_state(c: StencilConsts, model) -> State:
     b = jnp.zeros_like(a)
     f = dtype
     # cos(omega*(dt)) with the reference's float->double->float rounding
-    cos1 = f(1.0)
     cos_wdt = f(np.cos(np.float64(f(model.omega) * f(model.dt))))
-    a_hs, b_hs = apply_half_step(c, a, b, a, b, cos1, cos_wdt, main=True)
+    a_hs, b_hs = _bootstrap_tiptoe(c, a, cos_wdt)
     return State(
         a=a, b=b, a_hs=a_hs, b_hs=b_hs,
         hs_edge_a=jnp.zeros((a.shape[0],), dtype),
