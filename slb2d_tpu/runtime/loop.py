@@ -244,15 +244,21 @@ class Simulation:
         seen = set()
         steps = self.steps_done
         for chunk in schedule.iter_chunks(**self._schedule_kwargs()):
-            key = (chunk.n_steps,
-                   steps % 2 if self.impl == "pallas" else 0)
+            if self.impl == "pallas":
+                # one Mosaic compile serves every (length, parity) — only
+                # a LARGER padded-capacity chunk would recompile, so warm
+                # each distinct capacity once (stepper_pallas._padded)
+                key = (-(-chunk.n_steps // 256), 0)
+            else:
+                key = (chunk.n_steps, 0)
+            parity = steps % 2
             steps += chunk.n_steps
             if key in seen:
                 continue
             seen.add(key)
             st = jax.tree.map(jnp.array, self.state)   # donation fodder
             if self.impl == "pallas":
-                out = self._pallas_runner().run_xs(st, chunk.xs, key[1])
+                out = self._pallas_runner().run_xs(st, chunk.xs, parity)
             else:
                 out, _ = self._runner(chunk.n_steps)(st, chunk.xs)
             np.asarray(out.t)   # barrier: compile + dummy run finished
