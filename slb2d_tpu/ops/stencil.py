@@ -32,7 +32,6 @@ so float32 runs pin against the C solver:
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -179,15 +178,27 @@ def apply_half_step(c: StencilConsts, a_src, b_src, a_nb, b_nb,
     return a_new, b_new
 
 
-@functools.partial(jax.jit, donate_argnums=())
-def _bootstrap_tiptoe(c: StencilConsts, a, cos_wdt):
-    """The tiptoe first half-step as ONE device program: the eager
-    op-by-op version costs ~20 dispatch round trips, which dominates
-    driver start-up on a high-latency TPU link (~9.5 s measured at the
-    flagship shape on a tunnel-attached chip)."""
+def tiptoe_half_step(c: StencilConsts, a, cos_wdt):
+    """The bootstrap tiptoe (reference src/boltzmann_c_solver.c:141-145):
+    one main-grid half-step reading the initial arrays for both roles.
+    Shared body for the single-run and batched-sweep bootstraps so their
+    numerics cannot diverge."""
     b = jnp.zeros_like(a)
     return apply_half_step(c, a, b, a, b, jnp.ones((), a.dtype), cos_wdt,
                            main=True)
+
+
+def bootstrap_cos_wdt(model):
+    """cos(omega*dt) through the reference's float->double->float
+    rounding (src/boltzmann_c_solver.c:141's cos argument path)."""
+    f = model.np_dtype
+    return f(np.cos(np.float64(f(model.omega) * f(model.dt))))
+
+
+# jitted: the eager op-by-op tiptoe costs ~20 dispatch round trips, which
+# dominates driver start-up on a high-latency TPU link (~9.5 s measured
+# at the flagship shape on a tunnel-attached chip)
+_bootstrap_tiptoe = jax.jit(tiptoe_half_step)
 
 
 def bootstrap_state(c: StencilConsts, model) -> State:
@@ -196,10 +207,7 @@ def bootstrap_state(c: StencilConsts, model) -> State:
     dtype = model.np_dtype
     a = jnp.asarray(model.initial_a())
     b = jnp.zeros_like(a)
-    f = dtype
-    # cos(omega*(dt)) with the reference's float->double->float rounding
-    cos_wdt = f(np.cos(np.float64(f(model.omega) * f(model.dt))))
-    a_hs, b_hs = _bootstrap_tiptoe(c, a, cos_wdt)
+    a_hs, b_hs = _bootstrap_tiptoe(c, a, bootstrap_cos_wdt(model))
     return State(
         a=a, b=b, a_hs=a_hs, b_hs=b_hs,
         hs_edge_a=jnp.zeros((a.shape[0],), dtype),

@@ -32,6 +32,16 @@ from . import stencil
 # cos_av, sin_av, do_av, t
 XS_LANES = 8
 
+# xs tables pad to a multiple of this row quantum so nearby chunk
+# lengths share one compiled kernel (capacity changes recompile)
+XS_CAP_QUANTUM = 256
+
+
+def capacity_rows(n_steps: int) -> int:
+    """Padded xs-table capacity for an n-step chunk — shared with the
+    driver's warmup so its compile dedup cannot desync from _padded."""
+    return -(-n_steps // XS_CAP_QUANTUM) * XS_CAP_QUANTUM
+
 
 def _pl_shift(arr, dn: int, dm: int):
     """pltpu.roll-based (n+dn, m+dm) reader for VMEM-resident arrays.
@@ -304,11 +314,16 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
                 p[i] = D(getattr(c_new, name))
             self.params = p
 
+        def reserve(self, n_steps):
+            """Pre-grow the padded capacity (the driver's warmup primes
+            it to the schedule's largest chunk so exactly one kernel is
+            ever compiled)."""
+            self._cap = max(self._cap, capacity_rows(n_steps))
+
         def _padded(self, xs):
             n = xs.shape[0]
             if n > self._cap:
-                # round up so nearby chunk lengths share one capacity
-                self._cap = -(-n // 256) * 256
+                self._cap = capacity_rows(n)
             if n < self._cap:
                 xs = np.concatenate(
                     [xs, np.zeros((self._cap - n, XS_LANES), D)])

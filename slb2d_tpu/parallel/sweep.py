@@ -100,19 +100,15 @@ def _run_sweep(consts, states, cap0, weights, *, in_axes, n_steps, unroll,
 
 @functools.partial(jax.jit, static_argnames=("in_axes",))
 def _bootstrap_batch(consts, a, cos_wdt, *, in_axes):
-    """Vmapped tiptoe first half-step (stencil.bootstrap_state semantics)
-    for a whole batch in ONE device program.  Building B initial states
-    with per-point eager ops costs B * ~20 dispatch round trips — on a
-    high-latency TPU link that dwarfs everything else in a sweep's cold
-    start (measured: ~250 s of a 64-point first grid on this box's
-    tunnel, vs ~3 s for the actual scan compile)."""
-    def one(c, a_i, cw):
-        b = jnp.zeros_like(a_i)
-        a_hs, b_hs = stencil.apply_half_step(
-            c, a_i, b, a_i, b, jnp.ones((), a_i.dtype), cw, main=True)
-        return a_hs, b_hs
-
-    return jax.vmap(one, in_axes=(in_axes, 0, 0))(consts, a, cos_wdt)
+    """Vmapped tiptoe first half-step (stencil.tiptoe_half_step — the
+    SAME body as the single-run bootstrap) for a whole batch in ONE
+    device program.  Building B initial states with per-point eager ops
+    costs B * ~20 dispatch round trips — on a high-latency TPU link that
+    dwarfs everything else in a sweep's cold start (measured: ~250 s of
+    a 64-point first grid on this box's tunnel, vs ~3 s for the actual
+    scan compile)."""
+    return jax.vmap(stencil.tiptoe_half_step,
+                    in_axes=(in_axes, 0, 0))(consts, a, cos_wdt)
 
 
 @functools.lru_cache(maxsize=None)
@@ -235,11 +231,8 @@ class ParameterSweep:
         src/boltzmann_c_solver.c:136-145, point by point)."""
         D = self.base.np_dtype
         a = jnp.asarray(np.stack([m.initial_a() for m in self.models]))
-        # cos(omega*dt) through the reference's float->double->float
-        # rounding, per point (bootstrap_state's cos_wdt)
         cos_wdt = jnp.asarray(np.array(
-            [D(np.cos(np.float64(D(m.omega) * D(m.dt))))
-             for m in self.models], D))
+            [stencil.bootstrap_cos_wdt(m) for m in self.models], D))
         a_hs, b_hs = _bootstrap_batch(self.consts, a, cos_wdt,
                                       in_axes=self.in_axes)
         B, NHP = self.B, self.base.NHP

@@ -242,15 +242,23 @@ class Simulation:
         or profiling; never required for correctness."""
         import jax.numpy as jnp
         seen = set()
+        if self.impl == "pallas":
+            # one Mosaic compile serves every (length, parity); prime the
+            # xs capacity to the schedule's largest chunk so warmup
+            # compiles exactly ONE kernel (a smaller first chunk would
+            # otherwise compile a throwaway smaller-capacity executable)
+            lengths = [ch.n_steps for ch in
+                       schedule.iter_chunks(**self._schedule_kwargs())]
+            if lengths:
+                self._pallas_runner().reserve(max(lengths))
         steps = self.steps_done
         for chunk in schedule.iter_chunks(**self._schedule_kwargs()):
             if self.impl == "pallas":
-                # one Mosaic compile serves every (length, parity) — only
-                # a LARGER padded-capacity chunk would recompile, so warm
-                # each distinct capacity once (stepper_pallas._padded)
-                key = (-(-chunk.n_steps // 256), 0)
+                # constant after reserve(): every chunk pads to one
+                # capacity, so one dummy run warms everything
+                key = self._pallas_runner()._cap
             else:
-                key = (chunk.n_steps, 0)
+                key = chunk.n_steps
             parity = steps % 2
             steps += chunk.n_steps
             if key in seen:
