@@ -213,10 +213,11 @@ def _kernel(meta_ref,                   # SMEM (2,) i32: n_steps, parity0
 
 
 def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
-                       exact_trig=False, interpret=None):
+                       exact_trig=False, interpret=None, unroll=None):
     """(state, n_steps) -> state, running n_steps inside one Pallas kernel
-    per call.  n_steps is static per compilation (cached per length).
-    interpret=None auto-selects interpreter mode on non-TPU backends."""
+    per call (chunk length and parity are SMEM data — one compile).
+    interpret=None auto-selects interpreter mode on non-TPU backends.
+    unroll=None auto-selects the size-gated manual unroll factor."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     D = model.np_dtype
@@ -249,7 +250,8 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
 
         kernel = functools.partial(
             _kernel,
-            unroll=8 if NHP * MP >= (64 * 1024) else 1,
+            unroll=(unroll if unroll
+                    else (8 if NHP * MP >= (64 * 1024) else 1)),
             edge_col=model.M + 1)
         outs = pl.pallas_call(
             kernel,
