@@ -1,7 +1,8 @@
 """Command-line entry point: `slb2d key=value ...` or
 `python -m slb2d_tpu.cli key=value ...` — the exact reference CLI surface
 (reference: src/boltzmann_cli.c, README.md:30-66) plus TPU extensions
-(impl=, dtype=, steps-per-chunk=, checkpoint=, resume=, profile-dir=).
+(impl=, dtype=, steps-per-chunk=, checkpoint=, resume=, profile-dir=,
+compile-cache-dir=).
 """
 
 from __future__ import annotations
@@ -18,11 +19,7 @@ def main(argv=None):
         return 1
 
     import jax
-    # x64 only for float64 mode: the Pallas kernel (and TPU generally)
-    # wants a pure-i32/f32 world.  Never force it OFF — the embedding
-    # process (tests) may legitimately run with x64 on.
-    if cfg.dtype == "f64":
-        jax.config.update("jax_enable_x64", True)
+    cfgmod.apply_jax_options(cfg)    # x64 mode, persistent compile cache
 
     if cfg.device:
         devs = jax.devices()

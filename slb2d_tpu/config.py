@@ -55,6 +55,10 @@ class SimConfig:
     checkpoint: Optional[str] = None   # save final state to .npz
     resume: Optional[str] = None       # load initial state from .npz
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    compile_cache_dir: Optional[str] = None  # persistent XLA/Mosaic
+                             # executable cache: repeat runs of one shape
+                             # skip the cold compile (jax compilation
+                             # cache directory)
     shards: int = 1          # spatial shards of the phi_y axis over a
                              # "space" device mesh (halo exchange via
                              # ppermute; observables via psum)
@@ -103,6 +107,7 @@ _KEYMAP = {
     "checkpoint": ("checkpoint", str),
     "resume": ("resume", str),
     "profile-dir": ("profile_dir", str),
+    "compile-cache-dir": ("compile_cache_dir", str),
     "shards": ("shards", int),
     "frame-batch": ("frame_batch", int),
 }
@@ -183,6 +188,25 @@ def validate(cfg: SimConfig):
     if cfg.shards > 1 and cfg.impl == "pallas":
         _die("ERROR: impl=pallas is single-device; use impl=xla with "
              "shards=.")
+
+
+def apply_jax_options(cfg: SimConfig):
+    """Process-level jax options derived from the config, shared by the
+    slb2d and slb2d-sweep entry points.
+
+    x64 only for float64 mode: the Pallas kernel (and TPU generally)
+    wants a pure-i32/f32 world.  Never force it OFF — the embedding
+    process (tests) may legitimately run with x64 on.
+    compile-cache-dir= enables jax's persistent executable cache so
+    repeat runs of one shape skip the cold XLA/Mosaic compile (the
+    Mosaic kernel payload is compiled inside the XLA executable, so it
+    caches with it)."""
+    import jax
+    if cfg.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    if cfg.compile_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          cfg.compile_cache_dir)
 
 
 def open_out(cfg: SimConfig) -> IO[str]:

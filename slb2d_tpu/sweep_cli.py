@@ -268,9 +268,7 @@ def main(argv=None):
     except cfgmod.ConfigError:
         return 1
 
-    import jax
-    if cfg.dtype == "f64":
-        jax.config.update("jax_enable_x64", True)
+    cfgmod.apply_jax_options(cfg)    # x64 mode, persistent compile cache
 
     out = cfgmod.open_out(cfg)
     try:

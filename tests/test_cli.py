@@ -65,3 +65,21 @@ def test_out_file_append_mode(tmp_path, monkeypatch):
     assert cli.main(["display=4", *ARGS, "o=+acc.txt"]) == 0
     n2 = len(open("acc.txt").readlines())
     assert n2 == 2 * n1
+
+
+def test_cli_compile_cache_dir(tmp_path, monkeypatch):
+    """compile-cache-dir= plumbs into jax's persistent executable cache
+    (whether a given backend writes entries depends on its compile-time
+    thresholds; the product contract is the config plumbing)."""
+    import jax
+
+    monkeypatch.chdir(tmp_path)
+    cache = tmp_path / "xla-cache"
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        rc = cli.main(["display=4", *ARGS, "o=out.txt",
+                       f"compile-cache-dir={cache}"])
+        assert rc == 0
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
