@@ -288,3 +288,18 @@ def test_driver_pallas_engine_display7_frames(tmp_path, monkeypatch):
     rx = np.array([l.split() for l in _lines(fx[-1])], float)
     rp = np.array([l.split() for l in _lines(fp[-1])], float)
     np.testing.assert_allclose(rp, rx, rtol=5e-4, atol=1e-6)
+
+
+def test_driver_warmup_compiles_one_pallas_kernel(tmp_path, monkeypatch):
+    """warmup() primes the padded xs capacity to the schedule's largest
+    chunk, then one executable serves every (length, parity): the
+    production run must add ZERO compiles after warmup."""
+    monkeypatch.chdir(tmp_path)
+    cfg = SimConfig(**{**BASE, "t_start": 0.1, "impl": "pallas",
+                       "steps_per_chunk": 37, "out_file": "w.txt"})
+    sim = Simulation(cfg)
+    sim.warmup()
+    runner = sim._pallas_runner()
+    assert runner._jit_run._cache_size() == 1
+    sim.run()
+    assert runner._jit_run._cache_size() == 1
