@@ -43,6 +43,16 @@ def capacity_rows(n_steps: int) -> int:
     return -(-n_steps // XS_CAP_QUANTUM) * XS_CAP_QUANTUM
 
 
+def fits_vmem(NHP: int, MP: int) -> bool:
+    """Whether the megakernel's working set fits its VMEM budget.
+    MEASURED on v5e: Mosaic's scoped stack for this kernel is ~22.7 full
+    (NHP, MP) f32 arrays (a 104x12032 grid demanded 113.39 MB against
+    the 100 MB limit), so the safe bound is ~1.0M grid points (~91 MB).
+    The driver's impl=auto falls back to the HBM-streaming XLA scan
+    beyond this; explicit impl=pallas still attempts any size."""
+    return NHP * MP <= 1_000_000
+
+
 def _pl_shift(arr, dn: int, dm: int):
     """pltpu.roll-based (n+dn, m+dm) reader for VMEM-resident arrays.
     pltpu.roll only accepts non-negative shifts; use the modular twin.

@@ -90,10 +90,17 @@ class Simulation:
                            # config.validate rejects an explicit pallas
         if impl == "auto":
             # pallas is float32-only and (on TPU) wants x64 off — Mosaic
-            # lowering of mixed i32/i64 scalars is broken under x64
+            # lowering of mixed i32/i64 scalars is broken under x64.
+            # VMEM residency bounds the grid (stepper_pallas.fits_vmem);
+            # beyond it auto falls back to the HBM-streaming XLA scan
+            # (flagship N=100 M=4000 is well inside; an explicit
+            # impl=pallas still attempts any size)
+            from ..ops.stepper_pallas import fits_vmem
             impl = ("pallas" if (self.cfg.dtype == "f32"
                                  and _jax.default_backend() == "tpu"
-                                 and not _jax.config.jax_enable_x64)
+                                 and not _jax.config.jax_enable_x64
+                                 and fits_vmem(self.model.NHP,
+                                               self.model.MP))
                     else "xla")
         if impl == "pallas" and self.cfg.dtype != "f32":
             raise ValueError("impl=pallas requires dtype=f32")

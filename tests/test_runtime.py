@@ -303,3 +303,15 @@ def test_driver_warmup_compiles_one_pallas_kernel(tmp_path, monkeypatch):
     assert runner._jit_run._cache_size() == 1
     sim.run()
     assert runner._jit_run._cache_size() == 1
+
+
+def test_auto_impl_vmem_bound():
+    """impl=auto keeps the VMEM-resident megakernel inside its budget
+    and streams bigger grids through the XLA scan engine."""
+    from slb2d_tpu.ops.stepper_pallas import fits_vmem
+
+    assert fits_vmem(104, 4096)            # flagship N=100 M=4000
+    assert fits_vmem(104, 9088)            # M~9000 still resident
+    # 104x12032 measured OOM on v5e (113.39 MB vs the 100 MB limit)
+    assert not fits_vmem(104, 12032)
+    assert not fits_vmem(104, 32128)       # M~32000 -> XLA streaming
