@@ -278,6 +278,10 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
                 jax.ShapeDtypeStruct((8,), D),        # av (SMEM)
             ],
             input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 20: 4},
+            # 100 MB: raising the budget does NOT extend residency — at
+            # 120 MB Mosaic's scheduler simply demanded 124.73 MB for the
+            # same M=12000 grid (the scoped stack scales with the limit),
+            # so the fits_vmem bound is the honest ceiling
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,

@@ -104,6 +104,15 @@ class Simulation:
                     else "xla")
         if impl == "pallas" and self.cfg.dtype != "f32":
             raise ValueError("impl=pallas requires dtype=f32")
+        if impl == "pallas":
+            from ..ops.stepper_pallas import fits_vmem
+            if not fits_vmem(self.model.NHP, self.model.MP):
+                import sys
+                print("# WARNING: grid exceeds the pallas engine's "
+                      "measured VMEM budget (~1.0M points); expect a "
+                      "Mosaic out-of-memory compile failure — use "
+                      "impl=xla (or shards=) for this size",
+                      file=sys.stderr)
         return impl
 
     def _pallas_runner(self):

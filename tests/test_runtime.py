@@ -315,3 +315,10 @@ def test_auto_impl_vmem_bound():
     # 104x12032 measured OOM on v5e (113.39 MB vs the 100 MB limit)
     assert not fits_vmem(104, 12032)
     assert not fits_vmem(104, 32128)       # M~32000 -> XLA streaming
+
+
+def test_explicit_pallas_beyond_bound_warns(capsys):
+    cfg = SimConfig(**{**BASE, "g_grid": 12000, "n_harmonics": 100,
+                       "impl": "pallas"})
+    Simulation(cfg)
+    assert "VMEM budget" in capsys.readouterr().err
