@@ -91,6 +91,28 @@ def test_frames_cli_writes_reconstructed_points(tmp_path, monkeypatch):
         np.testing.assert_allclose(got, F[7], rtol=1e-15, atol=5e-21)
 
 
+def test_frames_with_interactive_refinement(tmp_path, monkeypatch):
+    """Each refinement grid writes its own grid%02d frames directory; a
+    rejected line must not consume a slot."""
+    import io
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "sweep:E_dc=9,9,2 shards=3\n"         # rejected: bad override key
+        "sweep:E_dc=2.0;2.5\n"
+        "exit\n"))
+    rc = sweep_cli.main([
+        "sweep:E_dc=0.5;1.5", "E_dc=1", "E_omega=2", "omega=10", "mu=1",
+        "alpha=0.9495", "n-harmonics=8", "PhiYmin=-10", "PhiYmax=10",
+        "B=0.1", "t-max=0.3", "dt=1e-3", "g-grid=24", "quiet=1",
+        "o=t.txt", f"frames-dir={tmp_path}/fr", "read-from=stdin"])
+    assert rc == 0
+    dirs = sorted(p.name for p in (tmp_path / "fr").iterdir())
+    assert dirs == ["grid00", "grid01"]
+    idx = (tmp_path / "fr/grid01/index.txt").read_text().splitlines()
+    assert float(idx[1].split()[1]) == 2.0
+
+
 def test_initial_states_buffers_are_donation_safe():
     """Every array in the batched initial State must own a distinct
     buffer: callers may donate the whole State (bench.py's sweep bench
