@@ -230,6 +230,8 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
     unroll=None auto-selects the size-gated manual unroll factor."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if unroll is not None and unroll < 1:
+        raise ValueError(f"unroll must be >= 1, got {unroll}")
     D = model.np_dtype
     if D != np.float32:
         raise ValueError("pallas stepper is float32-only (TPU native)")
@@ -260,7 +262,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
 
         kernel = functools.partial(
             _kernel,
-            unroll=(unroll if unroll
+            unroll=(unroll if unroll is not None
                     else (8 if NHP * MP >= (64 * 1024) else 1)),
             edge_col=model.M + 1)
         outs = pl.pallas_call(

@@ -94,20 +94,23 @@ class Simulation:
             # VMEM residency bounds the grid (stepper_pallas.fits_vmem);
             # beyond it auto falls back to the HBM-streaming XLA scan
             # (flagship N=100 M=4000 is well inside; an explicit
-            # impl=pallas still attempts any size)
-            from ..ops.stepper_pallas import fits_vmem
-            impl = ("pallas" if (self.cfg.dtype == "f32"
-                                 and _jax.default_backend() == "tpu"
-                                 and not _jax.config.jax_enable_x64
-                                 and fits_vmem(self.model.NHP,
-                                               self.model.MP))
-                    else "xla")
+            # impl=pallas still attempts any size).  Cheap conditions
+            # first: the stepper_pallas import costs ~0.8 s and must not
+            # tax configurations that resolve to xla anyway.
+            use_pallas = (self.cfg.dtype == "f32"
+                          and _jax.default_backend() == "tpu"
+                          and not _jax.config.jax_enable_x64)
+            if use_pallas:
+                from ..ops.stepper_pallas import fits_vmem
+                use_pallas = fits_vmem(self.model.NHP, self.model.MP)
+            impl = "pallas" if use_pallas else "xla"
         if impl == "pallas" and self.cfg.dtype != "f32":
             raise ValueError("impl=pallas requires dtype=f32")
-        if impl == "pallas":
+        elif impl == "pallas" and _jax.default_backend() == "tpu":
+            # explicit pallas beyond the bound: a real Mosaic kernel will
+            # be compiled (non-TPU backends interpret — no VMEM there)
             from ..ops.stepper_pallas import fits_vmem
             if not fits_vmem(self.model.NHP, self.model.MP):
-                import sys
                 print("# WARNING: grid exceeds the pallas engine's "
                       "measured VMEM budget (~1.0M points); expect a "
                       "Mosaic out-of-memory compile failure — use "
