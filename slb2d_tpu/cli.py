@@ -34,6 +34,8 @@ def main(argv=None):
     from .runtime.loop import Simulation
 
     sim = Simulation(cfg)
+    if cfg.warmup:
+        sim.warmup()
     if cfg.profile_dir:
         with jax.profiler.trace(cfg.profile_dir):
             sim.run()

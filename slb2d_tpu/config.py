@@ -65,6 +65,12 @@ class SimConfig:
     frame_batch: int = 8     # frame/strobe emissions accumulated on
                              # device per host transfer (displays 7 and
                              # 9; 1 = write per emission)
+    unroll: int = 0          # pallas megakernel manual unroll factor
+                             # (0 = size-gated auto).  unroll=4 halves the
+                             # one-time Mosaic compile at the flagship
+                             # shape for ~4.5% steady-state (docs/PERF.md)
+    warmup: bool = False     # compile every step runner before the timed
+                             # run (Simulation.warmup)
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
@@ -110,6 +116,8 @@ _KEYMAP = {
     "compile-cache-dir": ("compile_cache_dir", str),
     "shards": ("shards", int),
     "frame-batch": ("frame_batch", int),
+    "unroll": ("unroll", int),
+    "warmup": ("warmup", lambda v: v not in ("0", "false", "no")),
 }
 
 _REQUIRED = (
@@ -185,6 +193,8 @@ def validate(cfg: SimConfig):
         _die("ERROR: n-harmonics must be >= 1.")
     if cfg.shards < 1:
         _die("ERROR: shards= must be >= 1.")
+    if cfg.unroll < 0:
+        _die("ERROR: unroll= must be >= 1 (or 0 for auto).")
     if cfg.shards > 1 and cfg.impl == "pallas":
         _die("ERROR: impl=pallas is single-device; use impl=xla with "
              "shards=.")

@@ -477,7 +477,9 @@ class ParameterSweep:
         # should not kill the rest of the map either
         bad = ~(np.all(np.isfinite(av), axis=1)
                 & np.all([np.isfinite(v) for v in out.values()], axis=0))
-        if np.any(bad) and not self.cfg.quiet:
+        # process-0-only, like the checkpoint/frames writers (_fetch
+        # allgathers, so process 0's report covers every point)
+        if np.any(bad) and not self.cfg.quiet and jax.process_index() == 0:
             import sys
             idx = np.flatnonzero(bad)
             vals = {k: np.asarray(v)[idx][:4].tolist()

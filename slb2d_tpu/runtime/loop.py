@@ -121,7 +121,8 @@ class Simulation:
     def _pallas_runner(self):
         if self._pallas is None:
             from ..ops.stepper_pallas import make_pallas_runner
-            self._pallas = make_pallas_runner(self.c, self.model)
+            self._pallas = make_pallas_runner(
+                self.c, self.model, unroll=self.cfg.unroll or None)
         return self._pallas
 
     def _compute_t_max(self):

@@ -43,16 +43,22 @@ def parse_sweep_args(argv):
         if tok.startswith("sweep:"):
             body = tok[len("sweep:"):]
             name, _, spec = body.partition("=")
-            if ";" in spec:
-                vals = np.asarray([float(v) for v in spec.split(";")])
-            else:
-                parts = spec.split(",")
-                if len(parts) != 3:
-                    print(f"ERROR: bad sweep spec {tok!r} "
-                          "(want lo,hi,count or v1;v2;...)", file=sys.stderr)
-                    raise SystemExit(1)
-                lo, hi, n = float(parts[0]), float(parts[1]), int(parts[2])
-                vals = np.linspace(lo, hi, n)
+            # any malformed spec — wrong token count OR unparseable
+            # number — takes the same clean error path (the interactive
+            # refinement loop catches the SystemExit and re-reads)
+            try:
+                if ";" in spec:
+                    vals = np.asarray([float(v) for v in spec.split(";")])
+                else:
+                    parts = spec.split(",")
+                    if len(parts) != 3:
+                        raise ValueError("want lo,hi,count or v1;v2;...")
+                    lo, hi = float(parts[0]), float(parts[1])
+                    vals = np.linspace(lo, hi, int(parts[2]))
+            except ValueError:
+                print(f"ERROR: bad sweep spec {tok!r} "
+                      "(want lo,hi,count or v1;v2;...)", file=sys.stderr)
+                raise SystemExit(1)
             sweeps[name] = vals
         else:
             rest.append(tok)
@@ -255,7 +261,10 @@ def main(argv=None):
             print(f"ERROR: cannot create frames-dir={frames_dir!r}: {e}",
                   file=sys.stderr)
             return 1
-    sweeps, rest = parse_sweep_args(argv)
+    try:
+        sweeps, rest = parse_sweep_args(argv)
+    except SystemExit:           # malformed spec: message already printed
+        return 1
     if not sweeps:
         print("ERROR: no sweep: axes given.", file=sys.stderr)
         return 1

@@ -22,6 +22,22 @@ def test_cli_display4(tmp_path, monkeypatch):
     assert abs(vals[6] - 1.0) < 1e-3          # norm conservation
 
 
+def test_cli_unroll_and_warmup_knobs(tmp_path, monkeypatch):
+    """unroll= reaches make_pallas_runner and warmup=1 pre-compiles; the
+    observables are unchanged vs the auto-unroll run (VERDICT r2 item 5:
+    the knob used to exist only on the Python API)."""
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["display=4", *ARGS, "impl=pallas", "unroll=3",
+                   "warmup=1", "o=u3.txt"])
+    assert rc == 0
+    rc = cli.main(["display=4", *ARGS, "impl=pallas", "o=auto.txt"])
+    assert rc == 0
+    v3 = np.array(open("u3.txt").read().splitlines()[2].split(), float)
+    va = np.array(open("auto.txt").read().splitlines()[2].split(), float)
+    np.testing.assert_allclose(v3, va, rtol=1e-5, atol=1e-8)
+    assert cli.main(["display=4", *ARGS, "unroll=-1"]) == 1
+
+
 def test_cli_checkpoint_roundtrip(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     assert cli.main(["display=8", *ARGS, "checkpoint=state.npz"]) == 0

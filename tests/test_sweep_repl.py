@@ -99,6 +99,34 @@ def test_sweep_repl_rejected_lines_apply_nothing(tmp_path, monkeypatch,
     assert all(np.any(r[6:] != 0) for r in rows)
 
 
+def test_sweep_repl_malformed_numeric_spec_survives(tmp_path, monkeypatch,
+                                                    capsys):
+    """A sweep spec with an unparseable number (float()/int() ValueError)
+    is rejected like a wrong-token-count spec — the refinement session
+    survives instead of crashing with a traceback (ADVICE round 2)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "sweep:E_dc=0,1,x\n"                   # int('x') — bad count token
+        "sweep:E_dc=0.5;abc\n"                 # float('abc') — bad value
+        "sweep:E_dc=0.25;0.75\n"               # good line
+        "exit\n"))
+    rc = sweep_cli.main(
+        ARGS + ["o=o.txt", "read-from=stdin", "sweep:E_dc=0.5;1.0"])
+    assert rc == 0
+    assert capsys.readouterr().err.count("bad sweep spec") == 2
+    rows = _rows((tmp_path / "o.txt").read_text())
+    np.testing.assert_allclose([r[0] for r in rows],
+                               [0.5, 1.0, 0.25, 0.75])
+
+
+def test_sweep_cli_malformed_numeric_argv_is_clean(capsys):
+    """The non-interactive path prints the clean ERROR line and exits 1 on
+    an unparseable numeric spec (no raw ValueError traceback)."""
+    rc = sweep_cli.main(ARGS + ["sweep:E_dc=0,1,x"])
+    assert rc == 1
+    assert "bad sweep spec" in capsys.readouterr().err
+
+
 def test_sweep_cli_first_grid_error_is_clean(tmp_path, monkeypatch,
                                              capsys):
     """An unsweepable axis in the argv grid exits 1 with an ERROR line,
