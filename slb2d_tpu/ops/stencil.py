@@ -233,10 +233,18 @@ def av_update(c: StencilConsts, av, a_new, b_new, cos_av, sin_av,
     del f64_quadrature
     if sum_m is None:
         sum_m = lambda v: jnp.sum(v, axis=-1)
-    count = av[0] + 1
     v_dr = sum_m(b_new[1] * c.w_av)
     v_y = sum_m(a_new[0] * c.w_av_phi)
     m_x = sum_m(a_new[1] * c.w_av)
+    return av_update_from_sums(c, av, v_dr, v_y, m_x, cos_av, sin_av)
+
+
+def av_update_from_sums(c, av, v_dr, v_y, m_x, cos_av, sin_av):
+    """av_update with the three raw grid sums precomputed — the streaming
+    pallas engine emits per-step sums from the kernel and runs this chain
+    afterwards (ops/stepper_stream.py); formulas shared so the engines
+    cannot diverge."""
+    count = av[0] + 1
     av1 = av[1] + (v_dr - av[1]) / count
     av2 = av[2] + (v_y - av[2]) / count
     av3 = av[3] + (m_x - av[3]) / count

@@ -29,8 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 from . import stencil
 
 # xs table lanes (per step): cos_t, cos_t_dt, cos_hs, cos_hs_dt,
-# cos_av, sin_av, do_av, t
-XS_LANES = 8
+# cos_av, sin_av, do_av, t, emit77, emit_slot
+XS_LANES = 10
+
+# emission-record table width: 4 pre-step sums + t + av[0..7], padded
+OBS_LANES = 16
 
 # xs tables pad to a multiple of this row quantum so nearby chunk
 # lengths share one compiled kernel (capacity changes recompile)
@@ -79,7 +82,7 @@ def _kernel(meta_ref,                   # SMEM (2,) i32: n_steps, parity0
             a0_ref, phi_ref, nf_ref, nge2_ref, wn_ref,
             wav_ref, wavphi_ref, rowup_ref, colmain_ref, colhalf_ref,
             coledge_ref, aghost_ref, edges_ref,
-            a_out, b_out, ahs_out, bhs_out, edges_out, av_out,
+            a_out, b_out, ahs_out, bhs_out, edges_out, av_out, obs_out,
             *, unroll: int, edge_col: int):
     """Run meta_ref[0] full solver steps in VMEM.
 
@@ -202,6 +205,22 @@ def _kernel(meta_ref,                   # SMEM (2,) i32: n_steps, parity0
         bhs_out[:, ME:ME + 1] = old_edge_b
         edges_out[:, 0:1] = new_edge_a
         edges_out[:, 1:2] = new_edge_b
+
+        # display-77 emission record, written in-kernel (no per-emission
+        # host fetch / chunk cut): PRE-step row sums + loop t + the POST-
+        # step av (the reference prints a[current] pre-swap with the just-
+        # updated averages, src/boltzmann_c_solver.c:178-186).  `a`/`b`
+        # were read before the stores above, so these are pre-step values.
+        @pl.when(xs_ref[i, 8] > 0)
+        def _():
+            slot = xs_ref[i, 9].astype(jnp.int32)
+            obs_out[slot, 0] = jnp.sum(a[0:1, :] * wav_ref[:])
+            obs_out[slot, 1] = jnp.sum(b[1:2, :] * wav_ref[:])
+            obs_out[slot, 2] = jnp.sum(a[0:1, :] * wavphi_ref[:])
+            obs_out[slot, 3] = jnp.sum(a[1:2, :] * wav_ref[:])
+            obs_out[slot, 4] = xs_ref[i, 7]
+            for j in range(8):
+                obs_out[slot, 5 + j] = av_out[j]
         return mu1_main
 
     # Manual unroll improves VPU scheduling on large arrays (+37% at
@@ -270,7 +289,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 +
-                      [pl.BlockSpec(memory_space=pltpu.SMEM)],
+                      [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
             out_shape=[
                 jax.ShapeDtypeStruct((NHP, MP), D),   # a
                 jax.ShapeDtypeStruct((NHP, MP), D),   # b
@@ -278,6 +297,8 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
                 jax.ShapeDtypeStruct((NHP, MP), D),   # b_hs
                 jax.ShapeDtypeStruct((NHP, 128), D),  # edges
                 jax.ShapeDtypeStruct((8,), D),        # av (SMEM)
+                jax.ShapeDtypeStruct(                 # d77 records (SMEM)
+                    (xs_table.shape[0], OBS_LANES), D),
             ],
             input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 20: 4},
             # 100 MB: raising the budget does NOT extend residency — at
@@ -295,7 +316,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
           jnp.asarray(f_masks["colmain"]), jnp.asarray(f_masks["colhalf"]),
           jnp.asarray(f_masks["coledge"]), jnp.asarray(c.a0_ghost),
           edges)
-        a, b, ahs, bhs, edges_o, av_o = outs
+        a, b, ahs, bhs, edges_o, av_o, obs_o = outs
         # t continues exactly: last EXECUTED row's loop t plus one f32 dt,
         # identical to the C driver's sequential accumulation (the table
         # may carry padding rows past meta[0])
@@ -303,7 +324,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
         return stencil.State(
             a=a, b=b, a_hs=ahs, b_hs=bhs,
             hs_edge_a=edges_o[:, 0], hs_edge_b=edges_o[:, 1], av=av_o,
-            t=t_next, step=state.step + meta[0])
+            t=t_next, step=state.step + meta[0]), obs_o
 
     class Runner:
         """Stateful wrapper tracking step parity and loop t host-side so no
@@ -324,6 +345,9 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             self.params = params
             self._cap = 0
             self._jit_run = run          # exposed for compile-count tests
+            self.last_obs = None         # device (CAP, OBS_LANES) table of
+                                         # the most recent run's display-77
+                                         # records (rows 0..n_emit-1 valid)
 
         def update_consts(self, c_new):
             self.c = c_new
@@ -349,7 +373,9 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
 
         def _run(self, state, xs, n, parity0):
             meta = jnp.asarray(np.array([n, parity0], np.int32))
-            return run(state, self._padded(xs), self.params, meta)
+            out, self.last_obs = run(state, self._padded(xs), self.params,
+                                     meta)
+            return out
 
         def __call__(self, state, n_steps):
             xs = build_xs_table(model, self.c, self.t0, self.step0, n_steps,
@@ -360,9 +386,11 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             self.t0 = float(D(t_last + D(self.c.dt)))
             return out
 
-        def run_xs(self, state, xs_dict, parity0):
+        def run_xs(self, state, xs_dict, parity0, emit_idx=()):
             """Chunk interface for the Simulation driver: xs_dict columns
-            from runtime/schedule.iter_chunks."""
+            from runtime/schedule.iter_chunks.  emit_idx: in-chunk step
+            indices at which a display-77 emission record is written to
+            the in-kernel table (fetch via take_obs)."""
             n = len(xs_dict["t"])
             xs = np.zeros((n, XS_LANES), D)
             xs[:, 0] = xs_dict["cos_t"]
@@ -373,7 +401,17 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             xs[:, 5] = xs_dict["sin_av"]
             xs[:, 6] = xs_dict["do_av"].astype(D)
             xs[:, 7] = xs_dict["t"]
+            if len(emit_idx):
+                idx = np.asarray(emit_idx, np.int64)
+                xs[idx, 8] = 1
+                xs[idx, 9] = np.arange(idx.size, dtype=D)
             return self._run(state, xs, n, parity0)
+
+        def take_obs(self, n_emit):
+            """The last run's first n_emit display-77 records, fetched in
+            ONE transfer, in ops/stencil.emission_record layout
+            [norm_sum, v_dr_sum, v_y_sum, m_x_sum, t, av[0..7]]."""
+            return np.asarray(self.last_obs)[:n_emit, :13]
 
     return Runner()
 

@@ -162,10 +162,13 @@ class Simulation:
         return self._runners[n_steps]
 
     def _batched_emission(self):
-        """Display-77 lines are computed on-device inside the scan and
-        fetched once per chunk (XLA engine); the pallas engine keeps the
-        per-emission chunk cut."""
-        return self.cfg.display == 77 and self.impl != "pallas"
+        """Display-77 lines are computed on-device inside the step loop
+        and fetched once per chunk on BOTH engines: the XLA scan stacks
+        emission records as scan ys; the pallas megakernel writes them to
+        an in-kernel SMEM table at emit steps (stepper_pallas OBS_LANES).
+        The reference paid a D2H pair per 0.01 t here
+        (src/boltzmann_solver.c:234-245)."""
+        return self.cfg.display == 77
 
     def _get_recon(self):
         if self.recon is None or self.recon.model is not self.model:
@@ -303,11 +306,20 @@ class Simulation:
                 carry_out=carry, **self._schedule_kwargs()):
             prev_rows = None
             if chunk.event == "e77":
+                # per-emission cut path: only reachable when batched
+                # emission is disabled (kept as the specification of the
+                # batched paths; cross-checked in tests/test_runtime.py)
                 prev_rows = (np.asarray(self.state.a[:2]),
                              np.asarray(self.state.b[:2]))
             if self.impl == "pallas":
-                self.state = self._pallas_runner().run_xs(
-                    self.state, chunk.xs, self.steps_done % 2)
+                runner = self._pallas_runner()
+                self.state = runner.run_xs(
+                    self.state, chunk.xs, self.steps_done % 2,
+                    emit_idx=chunk.emit_idx)
+                if chunk.emit_idx:
+                    for rec in runner.take_obs(len(chunk.emit_idx)):
+                        writers.write_display77_from_record(
+                            self.out, self.model, rec, quiet=self.quiet)
             else:
                 self.state, ys = self._runner(chunk.n_steps)(self.state,
                                                              chunk.xs)
@@ -343,10 +355,11 @@ class Simulation:
         packed = np.asarray(jnp.concatenate([st.av, st.a[0, :8]]))
         return packed[:8], packed[8:16].reshape(1, 8), None
 
-    def _handle_event(self, chunk, prev_rows):
+    def _handle_event(self, chunk, prev_rows=None):
         cfg = self.cfg
         model = self.model
         if chunk.event == "e77":
+            # only with batched emission disabled (see _run_round)
             a_prev, b_prev = prev_rows
             writers.write_display77_line(
                 self.out, model, a_prev, b_prev,

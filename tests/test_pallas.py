@@ -84,6 +84,32 @@ def test_pallas_matches_xla_on_tpu_ulp_level():
             rtol=0, atol=1e-7, err_msg=f)
 
 
+def test_pallas_inkernel_d77_records_match_xla(tmp_path, monkeypatch):
+    """The megakernel's in-kernel display-77 emission table must reproduce
+    the XLA engine's batched records: a full display=77 run with
+    impl=pallas forced writes the same lines (all 15 columns) as impl=xla,
+    with NO per-emission chunk cuts (VERDICT r2 item 2)."""
+    from slb2d_tpu.runtime.loop import Simulation
+
+    monkeypatch.chdir(tmp_path)
+    texts = {}
+    for impl in ("xla", "pallas"):
+        cfg = SimConfig(**{**CFG, "display": 77, "t_start": 0.2,
+                           "omega": 10.0}, impl=impl,
+                        out_file=f"{impl}.txt")
+        Simulation(cfg).run()
+        texts[impl] = [l for l in open(tmp_path / f"{impl}.txt")
+                       .read().splitlines()
+                       if l and not l.startswith("#")]
+    assert len(texts["xla"]) == len(texts["pallas"]) > 10
+    for lx, lp in zip(texts["xla"], texts["pallas"]):
+        vx = np.array(lx.split(), float)
+        vp = np.array(lp.split(), float)
+        assert vx.shape == vp.shape == (15,)
+        assert vx[13] == vp[13]                     # t bit-exact
+        np.testing.assert_allclose(vp, vx, rtol=2e-4, atol=1e-6)
+
+
 def test_pallas_parity_ghost_cells():
     """The parity ghost fill must survive chunk boundaries (odd-length
     chunk flips parity)."""
