@@ -48,7 +48,10 @@ class SimConfig:
     read_from: Optional[str] = None   # only "stdin" supported, like reference
 
     # ---- TPU-native extensions (not present in the reference CLI) ----
-    impl: str = "auto"        # {"auto", "xla", "pallas"} stepper implementation
+    impl: str = "auto"        # {"auto", "xla", "pallas", "stream"} stepper
+                              # implementation; "pallas" picks the VMEM
+                              # megakernel or the HBM-streaming kernel by
+                              # grid size, "stream" forces the latter
     dtype: str = "f32"        # {"f32", "f64"}; reference is float32 (src/boltzmann.h:15)
     exact_time: bool = True   # replicate the C solver's float32 `t += dt` accumulation
     steps_per_chunk: int = 0  # 0 = auto; max scan steps between host syncs
@@ -183,8 +186,8 @@ def validate(cfg: SimConfig):
              "it must be greater than 0.")
     if cfg.read_from is not None and cfg.read_from != "stdin":
         _die("ERROR: Invalid value of read-from=")
-    if cfg.impl not in ("auto", "xla", "pallas"):
-        _die("ERROR: impl= must be one of auto, xla, pallas.")
+    if cfg.impl not in ("auto", "xla", "pallas", "stream"):
+        _die("ERROR: impl= must be one of auto, xla, pallas, stream.")
     if cfg.dtype not in ("f32", "f64"):
         _die("ERROR: dtype= must be f32 or f64.")
     if cfg.g_grid < 3:
@@ -195,7 +198,7 @@ def validate(cfg: SimConfig):
         _die("ERROR: shards= must be >= 1.")
     if cfg.unroll < 0:
         _die("ERROR: unroll= must be >= 1 (or 0 for auto).")
-    if cfg.shards > 1 and cfg.impl == "pallas":
+    if cfg.shards > 1 and cfg.impl in ("pallas", "stream"):
         _die("ERROR: impl=pallas is single-device; use impl=xla with "
              "shards=.")
 

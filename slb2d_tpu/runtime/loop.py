@@ -84,45 +84,46 @@ class Simulation:
 
     def _select_impl(self):
         import jax as _jax
+        self._engine = None
         impl = self.cfg.impl
         if self.cfg.shards > 1:
-            return "xla"   # the pallas megakernel is single-device;
+            return "xla"   # the pallas engines are single-device;
                            # config.validate rejects an explicit pallas
         if impl == "auto":
             # pallas is float32-only and (on TPU) wants x64 off — Mosaic
             # lowering of mixed i32/i64 scalars is broken under x64.
-            # VMEM residency bounds the grid (stepper_pallas.fits_vmem);
-            # beyond it auto falls back to the HBM-streaming XLA scan
-            # (flagship N=100 M=4000 is well inside; an explicit
-            # impl=pallas still attempts any size).  Cheap conditions
-            # first: the stepper_pallas import costs ~0.8 s and must not
-            # tax configurations that resolve to xla anyway.
+            # Cheap conditions first: the stepper import costs ~0.8 s and
+            # must not tax configurations that resolve to xla anyway.
             use_pallas = (self.cfg.dtype == "f32"
                           and _jax.default_backend() == "tpu"
                           and not _jax.config.jax_enable_x64)
-            if use_pallas:
-                from ..ops.stepper_pallas import fits_vmem
-                use_pallas = fits_vmem(self.model.NHP, self.model.MP)
             impl = "pallas" if use_pallas else "xla"
-        if impl == "pallas" and self.cfg.dtype != "f32":
+        if impl in ("pallas", "stream") and self.cfg.dtype != "f32":
             raise ValueError("impl=pallas requires dtype=f32")
-        elif impl == "pallas" and _jax.default_backend() == "tpu":
-            # explicit pallas beyond the bound: a real Mosaic kernel will
-            # be compiled (non-TPU backends interpret — no VMEM there)
+        if impl == "stream":
+            self._engine = "stream"
+            impl = "pallas"
+        elif impl == "pallas":
+            # engine choice: the VMEM-resident megakernel inside its
+            # measured residency bound (stepper_pallas.fits_vmem), the
+            # HBM-streaming temporal-tiling kernel beyond it — no more
+            # 2.2x fallback-to-XLA cliff at ~1.0M grid points
             from ..ops.stepper_pallas import fits_vmem
-            if not fits_vmem(self.model.NHP, self.model.MP):
-                print("# WARNING: grid exceeds the pallas engine's "
-                      "measured VMEM budget (~1.0M points); expect a "
-                      "Mosaic out-of-memory compile failure — use "
-                      "impl=xla (or shards=) for this size",
-                      file=sys.stderr)
+            self._engine = ("mega" if fits_vmem(self.model.NHP,
+                                                self.model.MP)
+                            else "stream")
         return impl
 
     def _pallas_runner(self):
         if self._pallas is None:
-            from ..ops.stepper_pallas import make_pallas_runner
-            self._pallas = make_pallas_runner(
-                self.c, self.model, unroll=self.cfg.unroll or None)
+            if self._engine == "stream":
+                from ..ops.stepper_stream import make_stream_runner
+                self._pallas = make_stream_runner(
+                    self.c, self.model, unroll=self.cfg.unroll or None)
+            else:
+                from ..ops.stepper_pallas import make_pallas_runner
+                self._pallas = make_pallas_runner(
+                    self.c, self.model, unroll=self.cfg.unroll or None)
         return self._pallas
 
     def _compute_t_max(self):
@@ -224,9 +225,11 @@ class Simulation:
             steps = self.steps_done - steps0
             if steps and wall > 0:
                 sites = 2 * (self.model.N + 1) * (self.model.M + 1) * steps
+                engine = (f"pallas-{self._engine}" if self._engine
+                          else self.impl)
                 print(f"\n# perf: {steps} steps in {wall:.3f}s = "
                       f"{steps / wall:.1f} steps/s "
-                      f"({sites / wall:.3e} site-updates/s) [impl={self.impl}]")
+                      f"({sites / wall:.3e} site-updates/s) [impl={engine}]")
         self._drain_io()
         if cfg.checkpoint:
             save_state(cfg.checkpoint, self.state, model=self.model,
@@ -249,10 +252,12 @@ class Simulation:
             E_omega=model.E_omega, display=cfg.display,
             frame_start=cfg.frame_start, T=model.T,
             dtype=model.np_dtype,
-            # pallas: the per-step xs table lives in SMEM (1 MB with
-            # ~16x window padding) — cap chunks at 512 steps there
+            # megakernel: the per-step xs table lives in SMEM (1 MB with
+            # ~16x window padding) — cap chunks at 512 steps there; the
+            # stream engine's tables are per-launch (K, 10) SMEM slices
+            # of a regular HBM array, so full chunks are fine
             chunk_max=cfg.steps_per_chunk or
-            (512 if self.impl == "pallas" else 4096),
+            (512 if self._engine == "mega" else 4096),
             frame_time0=self.frame_time,
             last_tT_reminder0=self.last_rem,
             break_on_e77=not self._batched_emission())

