@@ -35,6 +35,9 @@ def build(impl: str, N=100, M=4000):
     if impl == "pallas":
         from slb2d_tpu.ops.stepper_pallas import make_pallas_runner
         run = make_pallas_runner(c, model, av_enabled=False)
+    elif impl == "stream":
+        from slb2d_tpu.ops.stepper_stream import make_stream_runner
+        run = make_stream_runner(c, model, av_enabled=False)
     else:
         step = stencil.make_step_fn(c, av_enabled=False, exact_trig=False)
         unroll = stencil.default_scan_unroll()
@@ -258,8 +261,17 @@ def main():
                 name = "xla kernel"
                 ups, wall, steps = bench("xla")
     else:
-        ups, wall, steps = bench(impl)
-        name = impl
+        # kernel-only: python bench.py {pallas,stream,xla} [M] [N]
+        M = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+        N = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+        ups, wall, steps = bench(impl, M=M, N=N)
+        print(json.dumps({
+            "metric": f"lattice-site updates/sec (N={N} M={M}, {impl})",
+            "value": round(ups),
+            "unit": "updates/sec",
+            "vs_baseline": round(ups / BASELINE, 3),
+        }))
+        return
     print(json.dumps({
         "metric": f"lattice-site updates/sec (N=100 M=4000, {name})",
         "value": round(ups),

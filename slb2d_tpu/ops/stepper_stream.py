@@ -223,14 +223,15 @@ def _stream_kernel(meta_ref,                  # SMEM (4,) i32: n, parity
 
 
 def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
-                       exact_trig=True, interpret=None, K=None, W=None,
+                       exact_trig=False, interpret=None, K=None, W=None,
                        unroll=None):
     """Driver-compatible Runner (same surface as stepper_pallas's):
     run_xs(state, xs_dict, parity0, emit_idx) -> State, plus take_obs /
-    reserve / update_consts.  Works at ANY grid size; intended for grids
-    beyond the megakernel's VMEM bound (Simulation picks automatically).
-    """
-    del av_enabled, exact_trig   # gating rides the xs do_av lane
+    reserve / update_consts, plus the (state, n_steps) __call__ used by
+    benches.  Works at ANY grid size; intended for grids beyond the
+    megakernel's VMEM bound (Simulation picks automatically).
+    av_enabled/exact_trig affect only the __call__ path's self-built
+    tables; run_xs gating rides the schedule's xs do_av lane."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     D = model.np_dtype
@@ -410,6 +411,8 @@ def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
             self._cap = 0                    # capacity, in launches
             self._jit_run = run
             self.last_obs = None
+            self.step0 = 0
+            self.t0 = 0.0
             self.K, self.W, self.MP_s, self.n_tiles = K, W, MP_s, n_tiles
 
         def update_consts(self, c_new):
@@ -424,19 +427,34 @@ def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
             L = -(-launches // LAUNCH_QUANTUM) * LAUNCH_QUANTUM
             self._cap = max(self._cap, L)
 
+        def __call__(self, state, n_steps):
+            from .stepper_pallas import build_xs_table
+            xs = build_xs_table(model, self.c, self.t0, self.step0,
+                                n_steps, av_enabled=av_enabled,
+                                exact=exact_trig)
+            out = self._run_table(state, xs, n_steps, self.step0 % 2, ())
+            self.step0 += n_steps
+            self.t0 = float(D(xs[-1, 7] + D(self.c.dt)))
+            return out
+
         def run_xs(self, state, xs_dict, parity0, emit_idx=()):
             n = len(xs_dict["t"])
+            xs = np.zeros((n, XS_LANES), D)
+            xs[:, 0] = xs_dict["cos_t"]
+            xs[:, 1] = xs_dict["cos_t_dt"]
+            xs[:, 2] = xs_dict["cos_hs"]
+            xs[:, 3] = xs_dict["cos_hs_dt"]
+            xs[:, 4] = xs_dict["cos_av"]
+            xs[:, 5] = xs_dict["sin_av"]
+            xs[:, 6] = xs_dict["do_av"].astype(D)
+            xs[:, 7] = xs_dict["t"]
+            return self._run_table(state, xs, n, parity0, emit_idx)
+
+        def _run_table(self, state, xs_n, n, parity0, emit_idx):
             self.reserve(n)
             L = self._cap
             xs = np.zeros((L * K, XS_LANES), D)
-            xs[:n, 0] = xs_dict["cos_t"]
-            xs[:n, 1] = xs_dict["cos_t_dt"]
-            xs[:n, 2] = xs_dict["cos_hs"]
-            xs[:n, 3] = xs_dict["cos_hs_dt"]
-            xs[:n, 4] = xs_dict["cos_av"]
-            xs[:n, 5] = xs_dict["sin_av"]
-            xs[:n, 6] = xs_dict["do_av"].astype(D)
-            xs[:n, 7] = xs_dict["t"]
+            xs[:n] = xs_n[:, :XS_LANES]
             metas = np.zeros((L, 4), np.int32)
             full, tail = divmod(n, K)
             metas[:full, 0] = K

@@ -38,6 +38,14 @@ run boltzmann_c_solver_f64 d77_tiny_f64.txt display=77 $OMEGA10 n-harmonics=8 g-
 # 5b. display=77 from the D1/D2-patched build: all 15 columns pinnable
 run boltzmann_c_solver_f64_d77 d77_tiny_f64_fixed.txt display=77 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.2
 
+# 5c. display=77 at PRODUCTION precision: pristine f32 + the D1/D2 patch,
+#     all 15 columns pinnable within the FMA envelope (DEVIATIONS D7)
+run boltzmann_c_solver_f32_d77 d77_tiny_f32_fixed.txt display=77 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.2
+
+# 4b. display=3 at production precision (pristine binary: the display-3
+#     loops are in-bounds in the reference, no patch needed)
+run boltzmann_c_solver d3_tiny_f32.txt display=3 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.5
+
 # 6. display=7 movie frames (f64): frames land in cwd as frame%08d.data
 "$BIN/boltzmann_c_solver_f64" display=7 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.2 o=d7_out.txt >/dev/null 2>&1 || true
 cp frame00000001.data d7_frame1_f64.txt
@@ -57,6 +65,7 @@ printf 'E_dc 1.5 0.5\nB 0.2 0.5\nmu 1.3 0.3\nomega 12.0 0.3\nexit\n' | \
 gzip -nf d3_tiny_f64.txt d7_frame1_f64.txt d7_frame2_f64.txt
 gzip -nf d7_frame1_f32.txt d7_frame12_f32.txt
 gzip -nf d77_tiny_f64.txt d77_tiny_f64_fixed.txt
+gzip -nf d77_tiny_f32_fixed.txt d3_tiny_f32.txt
 cp d4_*.txt repl_f64.txt *.gz "$HERE/"
 cd /; rm -rf "$WORK"
 echo "golden fixtures written to $HERE"

@@ -75,3 +75,30 @@ gcc -std=gnu99 -O3 -m64 \
   -o "$HERE/bin/boltzmann_c_solver_f64_d77" -lm 2>/dev/null
 rm -rf "$STAGE"
 echo "built $HERE/bin/boltzmann_c_solver_f64_d77"
+
+# Fourth build: PRISTINE f32 (production precision) + ONLY the D1/D2
+# display-77 patch, for pinning all 15 display-77 columns at float32
+# within the measured FMA envelope (docs/DEVIATIONS.md D7).
+STAGE=$(mktemp -d)
+cp "$REF"/src/boltzmann_c_solver.c "$REF"/src/boltzmann_cli.c \
+   "$REF"/src/boltzmann_cli.h "$REF"/src/boltzmann.h \
+   "$REF"/src/constants.h "$STAGE/"
+sed -i '298,340{
+  s/for( int m = 1; m < 2\*M+2; m++ ) {/for( int m = 1; m < M+1; m++ ) {/
+  s/av_data\[1\] \*= v_dr_multiplier;/ffloat d1 = av_data[1] * v_dr_multiplier;/
+  s/av_data\[2\] \*= v_y_multiplier;/ffloat d2 = av_data[2] * v_y_multiplier;/
+  s/av_data\[3\] \*= m_over_multiplier;/ffloat d3 = av_data[3] * m_over_multiplier;/
+  s/av_data\[4\] \*= v_dr_multiplier;/ffloat d4 = av_data[4] * v_dr_multiplier;/
+  s/av_data\[4\] \/= t;/d4 \/= t;/
+  s/av_data\[5\] \*= v_dr_multiplier;/ffloat d5 = av_data[5] * v_dr_multiplier;/
+  s/av_data\[5\] \/= t;/d5 \/= t; (void)d5;/
+  s/v_dr_inst, av_data\[4\], norm/v_dr_inst, d4, norm/
+  s/av_data\[1\], av_data\[2\], av_data\[3\]/d1, d2, d3/
+  s/, t, av_data\[4\]);/, t, d4);/
+}' "$STAGE/boltzmann_c_solver.c"
+gcc -std=gnu99 -O3 -m64 \
+  -I"$HERE/gsl_shim" \
+  "$STAGE/boltzmann_c_solver.c" "$STAGE/boltzmann_cli.c" \
+  -o "$HERE/bin/boltzmann_c_solver_f32_d77" -lm 2>/dev/null
+rm -rf "$STAGE"
+echo "built $HERE/bin/boltzmann_c_solver_f32_d77"

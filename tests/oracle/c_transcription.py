@@ -228,3 +228,71 @@ class CTranscription:
             m_over_m_x_inst=f32(m_x * m_mult),
             av=d,
         )
+
+    # -- frame reconstruction & GPU-driver displays 8/9 ----------------------
+    # (GPU driver only: src/boltzmann_solver.c:334-346 single-shot,
+    #  :260-275 + :447-484 strobe; the C binary lacks these, so this
+    #  transcription is their numerics oracle.)
+
+    def frame_phi_x(self):
+        """`for(ffloat phi_x = -PI; phi_x < PI; phi_x += 0.01)` — float
+        storage, double accumulate/compare (0.01 is a double constant)."""
+        vals = []
+        px = f32(-PI)
+        while f64(px) < PI:
+            vals.append(px)
+            px = f32(f64(px) + 0.01)
+        return np.asarray(vals, f32)
+
+    def reconstruct_frame(self, a, b, m_hi_inclusive):
+        """print_2d_data / print_2d_strobe value grid (GPU bounds
+        m=1..M+1, src/boltzmann_solver.c:496): per (phi_x, m),
+        value = f32 accumulation over n of the DOUBLE product+sum
+        a[n,m]*cos(n*phi_x) + b[n,m]*sin(n*phi_x); clamped at 0."""
+        pxs = self.frame_phi_x()
+        asl = a[:, 1:m_hi_inclusive + 1].astype(f64)     # (N+1, m)
+        bsl = b[:, 1:m_hi_inclusive + 1].astype(f64)
+        F = np.zeros((len(pxs), m_hi_inclusive), f32)
+        for n in range(self.N + 1):
+            arg = f64(f32(n * pxs))                      # f32 product, f64 trig
+            term = (np.cos(arg)[:, None] * asl[n][None, :]
+                    + np.sin(arg)[:, None] * bsl[n][None, :])
+            F = (F.astype(f64) + term).astype(f32)       # ffloat value +=
+        return np.maximum(F, 0)
+
+    def run_display8(self):
+        """GPU display-8: run to t_max (av excluded by the GPU guard,
+        src/boltzmann_solver.c:247 — docs/DEVIATIONS.md D5), then one
+        frame from the post-swap current arrays (:334-346).
+        Returns (t_exit, F) with F over m=1..M+1."""
+        self.run_to_t_max(do_av="none")
+        F = self.reconstruct_frame(self.a[self.current], self.b[self.current],
+                                   self.M + 1)
+        return self.t, F
+
+    def run_display9(self, n_periods=101):
+        """GPU display-9 strobe: t_max = t_start + n_periods*T
+        (reference uses 101, src/boltzmann_solver.c:80-82; a smaller
+        count truncates the run without changing any per-period logic);
+        after each step, at drive-period wraparound past t_start
+        (fractional t/T decreasing, :260-263), the current frame is
+        clamped and ACCUMULATED into strobe_values (:474) and a snapshot
+        emitted.  Returns [(t_emit, accumulated_strobe), ...]."""
+        self.t_max = f32(self.t_start + f32(n_periods * self.T))
+        last_rem = f32(0)
+        strobe = np.zeros((len(self.frame_phi_x()), self.M + 1), f32)
+        frames = []
+        while self.t < self.t_max:
+            t = self.t                                   # loop t of this step
+            self.run_steps(1, do_av="none")
+            if t >= self.t_start:
+                tT = f32(t / self.T)
+                rem = f32(tT - int(tT))
+                if rem < last_rem:
+                    F = self.reconstruct_frame(self.a[self.current],
+                                               self.b[self.current],
+                                               self.M + 1)
+                    strobe = (strobe + F).astype(f32)    # ffloat +=, :474
+                    frames.append((t, strobe.copy()))
+                last_rem = rem
+        return frames

@@ -110,6 +110,52 @@ def test_display77_schedule_and_norms(tmp_path, monkeypatch):
         np.testing.assert_allclose(mp[6], gp[6], rtol=1e-9)         # norm
 
 
+def test_display3_f32_vs_reference(tmp_path, monkeypatch):
+    """Display-3 at the PRODUCTION precision (f32) against the pristine
+    reference binary (its display-3 loops are in-bounds — no patch
+    needed); tolerance = the measured FMA envelope (DEVIATIONS D7)."""
+    gold = read_gold("d3_tiny_f32.txt.gz").splitlines()
+    mine = run_sim(tmp_path, monkeypatch, display=3, dtype="f32",
+                   omega=10.0, n_harmonics=8, g_grid=24,
+                   t_start=0.5).splitlines()
+    assert len(gold) == len(mine)
+    for g, m in zip(gold, mine):
+        if g.startswith("# norm="):
+            assert m.startswith("# norm=")
+            np.testing.assert_allclose(float(m[7:]), float(g[7:]),
+                                       rtol=2e-5)
+            continue
+        gp, mp = g.split(), m.split()
+        assert gp[:2] == mp[:2]          # phi_x, phi_y strings identical
+        np.testing.assert_allclose([float(mp[2]), float(mp[3])],
+                                   [float(gp[2]), float(gp[3])],
+                                   rtol=2e-4, atol=5e-6)
+
+
+@pytest.mark.parametrize("impl", ["auto", "pallas", "stream"])
+def test_display77_all_columns_f32_vs_patched_reference(tmp_path,
+                                                        monkeypatch, impl):
+    """ALL 15 display-77 columns at the PRODUCTION precision (f32)
+    against the pristine-f32 + D1/D2-patch oracle build, on every engine
+    (VERDICT r2 items 2 and 3: the f32 run previously pinned only t and
+    norm, and the pallas engines had no golden coverage at all).
+    Tolerance = the measured FMA envelope (DEVIATIONS D7), with the atol
+    term for the cancellation-prone v_y columns."""
+    gold = [l for l in read_gold("d77_tiny_f32_fixed.txt.gz").splitlines()
+            if l and not l.startswith("#")]
+    mine = [l for l in run_sim(tmp_path, monkeypatch, display=77,
+                               dtype="f32", impl=impl, omega=10.0,
+                               n_harmonics=8, g_grid=24,
+                               t_start=0.2).splitlines()
+            if l and not l.startswith("#")]
+    assert len(gold) == len(mine) > 50
+    for g, m in zip(gold, mine):
+        gp, mp = np.array(g.split(), float), np.array(m.split(), float)
+        assert gp.shape == mp.shape == (15,)
+        assert mp[13] == gp[13]                       # t bit-exact
+        np.testing.assert_allclose(mp, gp, rtol=2e-4, atol=8e-6)
+
+
 def test_display7_frames_f32_vs_reference(tmp_path, monkeypatch):
     """Movie frames at the PRODUCTION precision (f32) against the pristine
     reference binary: same cadence (frame indices are pinned exactly by

@@ -308,26 +308,13 @@ def test_driver_warmup_compiles_one_pallas_kernel(tmp_path, monkeypatch):
 
 
 def test_auto_impl_vmem_bound():
-    """impl=auto keeps the VMEM-resident megakernel inside its budget
-    and streams bigger grids through the XLA scan engine."""
+    """fits_vmem picks the engine behind impl=pallas: the VMEM-resident
+    megakernel inside its measured budget, the HBM-streaming kernel
+    beyond it (routing asserted in tests/test_stream.py)."""
     from slb2d_tpu.ops.stepper_pallas import fits_vmem
 
     assert fits_vmem(104, 4096)            # flagship N=100 M=4000
     assert fits_vmem(104, 9088)            # M~9000 still resident
     # 104x12032 measured OOM on v5e (113.39 MB vs the 100 MB limit)
     assert not fits_vmem(104, 12032)
-    assert not fits_vmem(104, 32128)       # M~32000 -> XLA streaming
-
-
-def test_explicit_pallas_beyond_bound_warns(capsys, monkeypatch):
-    """The over-VMEM warning fires only where a real Mosaic kernel will
-    be compiled (TPU backend); interpret-mode backends have no VMEM."""
-    import jax
-
-    cfg = SimConfig(**{**BASE, "g_grid": 12000, "n_harmonics": 100,
-                       "impl": "pallas"})
-    Simulation(cfg)
-    assert "VMEM budget" not in capsys.readouterr().err  # CPU: no warning
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    Simulation(cfg)
-    assert "VMEM budget" in capsys.readouterr().err
+    assert not fits_vmem(104, 32128)       # M~32000 -> stream engine
