@@ -198,9 +198,6 @@ def validate(cfg: SimConfig):
         _die("ERROR: shards= must be >= 1.")
     if cfg.unroll < 0:
         _die("ERROR: unroll= must be >= 1 (or 0 for auto).")
-    if cfg.shards > 1 and cfg.impl in ("pallas", "stream"):
-        _die("ERROR: impl=pallas is single-device; use impl=xla with "
-             "shards=.")
 
 
 def apply_jax_options(cfg: SimConfig):

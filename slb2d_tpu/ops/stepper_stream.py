@@ -218,8 +218,62 @@ def _stream_kernel(meta_ref,                  # SMEM (4,) i32: n, parity
     b_out[:] = wb[:, H:H + W]
     ahs_out[:] = wahs[:, H:H + W]
     bhs_out[:] = wbhs[:, H:H + W]
-    owner = jnp.where(jnp.sum(rowc_c[5:6, :]) > 0, one, zero)
+    # rowc row 6 is the OWNED-ONLY edge one-hot: identical to row 5 on
+    # the single-device path, but zeroed at halo positions on the sharded
+    # ext path so exactly one shard contributes the edge chain
+    owner = jnp.where(jnp.sum(rowc_c[6:7, :]) > 0, one, zero)
     edges_out[:] = edges_out[:] + owner * edge_s[:]
+
+
+def _build_launch_call(NHP, W, K, MP_s, unroll, interpret):
+    """The shape-parameterized pallas_call for one K-step launch over a
+    (NHP, MP_s) array set: grid of MP_s/W tiles, 3 specs per blocked
+    input (center W + clamped H-halo blocks each side).  Consts are
+    runtime args, so the single-device and sharded-ext paths share it."""
+    n_tiles = MP_s // W
+    cb = W // H
+    nhb = MP_s // H
+    WT = W + 2 * H
+    kernel = functools.partial(_stream_kernel, K=K, W=W, unroll=unroll)
+
+    def _rspec(shape, space=pltpu.VMEM):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=space)
+
+    def _cspec(rows):
+        return (pl.BlockSpec((rows, W), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, H),
+                             lambda i: (0, jnp.maximum(i * cb - 1, 0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (rows, H),
+                    lambda i: (0, jnp.minimum(i * cb + cb, nhb - 1)),
+                    memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=(
+            [_rspec((4,), pltpu.SMEM),
+             _rspec((K, XS_LANES), pltpu.SMEM),
+             _rspec((16,), pltpu.SMEM)]
+            + [s for _ in range(4) for s in _cspec(NHP)]
+            + list(_cspec(NHP)) + list(_cspec(NHP)) + list(_cspec(8))
+            + [_rspec((NHP, 128)), _rspec((NHP, 128))]),
+        out_specs=[_cspec(NHP)[0] for _ in range(4)]
+        + [_rspec((NHP, 128)), _rspec((K, SUM_LANES), pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((NHP, MP_s), jnp.float32)
+                   for _ in range(4)]
+        + [jax.ShapeDtypeStruct((NHP, 128), jnp.float32),
+           jax.ShapeDtypeStruct((K, SUM_LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NHP, WT), jnp.float32)
+                        for _ in range(4)]
+        + [pltpu.VMEM((NHP, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
 
 
 def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
@@ -251,13 +305,12 @@ def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
     W = min(W, ((MP + 127) // 128) * 128)     # never wider than the grid
     MP_s = ((MP + W - 1) // W) * W            # stream-padded lane extent
     n_tiles = MP_s // W
-    cb = W // H                               # center width in halo blocks
-    nhb = MP_s // H                           # total halo blocks
-    WT = W + 2 * H
 
     params = np.zeros(16, D)
     for j, name in enumerate(SCALAR_FIELDS):
         params[j] = D(getattr(c, name))
+
+    launch_call = _build_launch_call(NHP, W, K, MP_s, unroll, interpret)
 
     def padc(arr2d):
         out = np.zeros((arr2d.shape[0], MP_s), D)
@@ -279,63 +332,9 @@ def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
     ncol[:, 2] = np.asarray(c.w_n, D).ravel()
     ncol[:, 3] = np.asarray(c.row_update, D).ravel()
 
+    rowc[6] = rowc[5]                         # owned == center here
     w_av_p = jnp.asarray(rowc[1])             # padded, for presum0
     w_av_phi_p = jnp.asarray(rowc[2])
-
-    kernel = functools.partial(_stream_kernel, K=K, W=W, unroll=unroll)
-
-    def _spec_c():
-        return pl.BlockSpec((NHP, W), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-
-    def _spec_l():
-        return pl.BlockSpec((NHP, H),
-                            lambda i: (0, jnp.maximum(i * cb - 1, 0)),
-                            memory_space=pltpu.VMEM)
-
-    def _spec_r():
-        return pl.BlockSpec(
-            (NHP, H), lambda i: (0, jnp.minimum(i * cb + cb, nhb - 1)),
-            memory_space=pltpu.VMEM)
-
-    def _rspec(shape, space=pltpu.VMEM):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=space)
-
-    def _cspec(rows):
-        return (pl.BlockSpec((rows, W), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, H),
-                             lambda i: (0, jnp.maximum(i * cb - 1, 0)),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (rows, H),
-                    lambda i: (0, jnp.minimum(i * cb + cb, nhb - 1)),
-                    memory_space=pltpu.VMEM))
-
-    launch_call = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=(
-            [_rspec((4,), pltpu.SMEM),
-             _rspec((K, XS_LANES), pltpu.SMEM),
-             _rspec((16,), pltpu.SMEM)]
-            + [s for _ in range(4) for s in (_spec_c(), _spec_l(),
-                                             _spec_r())]
-            + list(_cspec(NHP)) + list(_cspec(NHP)) + list(_cspec(8))
-            + [_rspec((NHP, 128)), _rspec((NHP, 128))]),
-        out_specs=[_spec_c() for _ in range(4)]
-        + [_rspec((NHP, 128)), _rspec((K, SUM_LANES), pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((NHP, MP_s), D) for _ in range(4)]
-        + [jax.ShapeDtypeStruct((NHP, 128), D),
-           jax.ShapeDtypeStruct((K, SUM_LANES), D)],
-        scratch_shapes=[pltpu.VMEM((NHP, WT), jnp.float32)
-                        for _ in range(4)]
-        + [pltpu.VMEM((NHP, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
 
     a0_d, ag_d, rowc_d, ncol_d = (jnp.asarray(a0_p), jnp.asarray(ag_p),
                                   jnp.asarray(rowc), jnp.asarray(ncol))
@@ -398,83 +397,272 @@ def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
             hs_edge_a=edges[:, 0], hs_edge_b=edges[:, 1], av=av_final,
             t=state.t, step=state.step), obs
 
-    class StreamRunner:
-        """Host-side wrapper: chunk -> padded launch tables (capacity in
-        LAUNCH_QUANTUM launches so nearby chunk lengths share a compile),
-        step/t tracked host-side like the megakernel Runner."""
+    r = _StreamRunner(run, model, c, params, K,
+                      av_enabled=av_enabled, exact_trig=exact_trig)
+    r.W, r.MP_s, r.n_tiles = W, MP_s, n_tiles
+    return r
 
-        engine = "stream"
 
-        def __init__(self):
-            self.c = c
-            self.params = params
-            self._cap = 0                    # capacity, in launches
-            self._jit_run = run
-            self.last_obs = None
-            self.step0 = 0
-            self.t0 = 0.0
-            self.K, self.W, self.MP_s, self.n_tiles = K, W, MP_s, n_tiles
+def make_sharded_stream_runner(c: stencil.StencilConsts, model, mesh,
+                               axis: str = "space", av_enabled=True,
+                               exact_trig=False, interpret=None, K=None,
+                               unroll=None):
+    """The stream engine shard_map'd over the phi_y axis: pallas-class
+    speed for `shards>1` runs (round-2 Weak #2's second half — those
+    previously always fell back to the XLA scan).
 
-        def update_consts(self, c_new):
-            self.c = c_new
-            p = np.zeros(16, D)
-            for j, name in enumerate(SCALAR_FIELDS):
-                p[j] = D(getattr(c_new, name))
-            self.params = p
+    Each shard holds its (NHP, MP/S) slice; per K-step launch it receives
+    an H-column halo from each neighbor via `jax.lax.ppermute` (2*(NHP*H)
+    floats per direction per K steps, riding ICI), assembles the extended
+    (NHP, MP/S + 2H) array, and runs the SAME temporal-tiling kernel on
+    it as one tile — the trapezoid absorbs the halo staleness exactly as
+    in the single-device case (2K <= H).  Per-shard extended constants
+    are precomputed host-side; per-step observable sums are shard-local
+    partials psum'd across the mesh.  State keeps its driver-facing
+    global (NHP, MP) shape, sharded along m (parallel/spatial.py specs).
+    """
+    from jax.sharding import PartitionSpec as P
 
-        def reserve(self, n_steps):
-            launches = -(-n_steps // K)
-            L = -(-launches // LAUNCH_QUANTUM) * LAUNCH_QUANTUM
-            self._cap = max(self._cap, L)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    D = model.np_dtype
+    if D != np.float32:
+        raise ValueError("pallas steppers are float32-only (TPU native)")
+    NHP, MP = model.NHP, model.MP
+    S = mesh.shape[axis]
+    if MP % S or (MP // S) % H:
+        raise ValueError(
+            f"sharded stream needs MP={MP} divisible into {H}-column "
+            f"multiples across {S} shards; pick g-grid/shards so that "
+            f"(M+3 padded to 128) / shards is a multiple of {H}")
+    MP_loc = MP // S
+    W_ext = MP_loc + 2 * H
+    if K is None:
+        K = default_k_steps()
+    if unroll is None:
+        unroll = 4 if NHP * (W_ext + 2 * H) >= (64 * 1024) else 1
+    if 2 * K > H:
+        raise ValueError(f"K={K} violates the halo bound 2K <= H={H}")
+    # per-shard VMEM working set: 4 state + ~15 temporaries of
+    # (NHP, W_ext + 2H) f32 — bound it like the megakernel's fits_vmem
+    if NHP * (W_ext + 2 * H) > 2_600_000:
+        raise ValueError(
+            f"per-shard extended slice {NHP}x{W_ext} exceeds the VMEM "
+            f"working-set budget; raise shards=")
 
-        def __call__(self, state, n_steps):
-            from .stepper_pallas import build_xs_table
-            xs = build_xs_table(model, self.c, self.t0, self.step0,
-                                n_steps, av_enabled=av_enabled,
-                                exact=exact_trig)
-            out = self._run_table(state, xs, n_steps, self.step0 % 2, ())
-            self.step0 += n_steps
-            self.t0 = float(D(xs[-1, 7] + D(self.c.dt)))
-            return out
+    launch_call = _build_launch_call(NHP, W_ext, K, W_ext, unroll,
+                                     interpret)
 
-        def run_xs(self, state, xs_dict, parity0, emit_idx=()):
-            n = len(xs_dict["t"])
-            xs = np.zeros((n, XS_LANES), D)
-            xs[:, 0] = xs_dict["cos_t"]
-            xs[:, 1] = xs_dict["cos_t_dt"]
-            xs[:, 2] = xs_dict["cos_hs"]
-            xs[:, 3] = xs_dict["cos_hs_dt"]
-            xs[:, 4] = xs_dict["cos_av"]
-            xs[:, 5] = xs_dict["sin_av"]
-            xs[:, 6] = xs_dict["do_av"].astype(D)
-            xs[:, 7] = xs_dict["t"]
-            return self._run_table(state, xs, n, parity0, emit_idx)
+    params = np.zeros(16, D)
+    for j, name in enumerate(SCALAR_FIELDS):
+        params[j] = D(getattr(c, name))
 
-        def _run_table(self, state, xs_n, n, parity0, emit_idx):
-            self.reserve(n)
-            L = self._cap
-            xs = np.zeros((L * K, XS_LANES), D)
-            xs[:n] = xs_n[:, :XS_LANES]
-            metas = np.zeros((L, 4), np.int32)
-            full, tail = divmod(n, K)
-            metas[:full, 0] = K
-            if tail:
-                metas[full, 0] = tail
-            metas[:, 1] = (parity0 + np.arange(L) * K) % 2
-            emit = np.zeros(L * K, np.int32)
-            if len(emit_idx):
-                emit[:len(emit_idx)] = np.asarray(emit_idx, np.int32)
-            out, self.last_obs = run(
-                state, jnp.asarray(xs.reshape(L, K, XS_LANES)),
-                jnp.asarray(metas), jnp.asarray(self.params),
-                jnp.asarray(emit))
-            t_next = D(xs[n - 1, 7] + D(self.c.dt))
-            return out._replace(t=jnp.asarray(t_next),
-                                step=out.step + n)
+    # ---- per-shard extended constants, stacked (NHP|8, S*W_ext) -------
+    def window(glob2d, zero_halo_rows=()):
+        """glob2d (rows, MP) -> stacked ext (rows, S*W_ext): shard s gets
+        global cols [s*MP_loc - H, (s+1)*MP_loc + H), zero outside."""
+        rows = glob2d.shape[0]
+        out = np.zeros((rows, S * W_ext), D)
+        for s in range(S):
+            lo = s * MP_loc - H
+            for jcol in range(W_ext):
+                g = lo + jcol
+                if 0 <= g < MP:
+                    out[:, s * W_ext + jcol] = glob2d[:, g]
+        for r in zero_halo_rows:
+            for s in range(S):
+                out[r, s * W_ext:s * W_ext + H] = 0
+                out[r, (s + 1) * W_ext - H:(s + 1) * W_ext] = 0
+        return out
 
-        def take_obs(self, n_emit):
-            """First n_emit display-77 records of the last run, one
-            transfer, ops/stencil.emission_record layout."""
-            return np.asarray(self.last_obs)[:n_emit, :13]
+    rowc_g = np.zeros((8, MP), D)
+    rowc_g[0] = np.asarray(c.phi, D)[:MP]
+    rowc_g[1] = np.asarray(c.w_av, D)[:MP]
+    rowc_g[2] = np.asarray(c.w_av_phi, D)[:MP]
+    rowc_g[3] = np.asarray(c.col_main, D).ravel()[:MP]
+    rowc_g[4] = np.asarray(c.col_half, D).ravel()[:MP]
+    rowc_g[5] = np.asarray(c.col_edge, D).ravel()[:MP]
+    rowc_g[6] = rowc_g[5]
+    # rows 1/2 (observable weights) and 6 (edge-owner one-hot) must count
+    # each column exactly once across shards: zero their halo copies
+    rowc_e = window(rowc_g, zero_halo_rows=(1, 2, 6))
+    a0_e = window(np.asarray(c.a0, D))
+    ag_e = window(np.asarray(c.a0_ghost, D))
+    ncol = np.zeros((NHP, 128), D)
+    ncol[:, 0] = np.asarray(c.n_float, D).ravel()
+    ncol[:, 1] = np.asarray(c.n_ge2, D).ravel()
+    ncol[:, 2] = np.asarray(c.w_n, D).ravel()
+    ncol[:, 3] = np.asarray(c.row_update, D).ravel()
 
-    return StreamRunner()
+    a0_d, ag_d, rowc_d, ncol_d = (jnp.asarray(a0_e), jnp.asarray(ag_e),
+                                  jnp.asarray(rowc_e), jnp.asarray(ncol))
+    w_av_g = jnp.asarray(rowc_g[1])
+    w_av_phi_g = jnp.asarray(rowc_g[2])
+
+    perm_from_left = [(i, (i + 1) % S) for i in range(S)]
+    perm_from_right = [((i + 1) % S, i) for i in range(S)]
+
+    def body(a0s, ags, rowcs, ncols, a, b, ahs, bhs, edges, xs_all, metas,
+             params_arg):
+        def ext(x):
+            recv_l = jax.lax.ppermute(x[:, -H:], axis, perm_from_left)
+            recv_r = jax.lax.ppermute(x[:, :H], axis, perm_from_right)
+            return jnp.concatenate([recv_l, x, recv_r], axis=1)
+
+        def launch(carry, inp):
+            ca, cb_, cahs, cbhs, cedges = carry
+            xs_l, meta_l = inp
+            ea, eb, eahs, ebhs = ext(ca), ext(cb_), ext(cahs), ext(cbhs)
+            outs = launch_call(
+                meta_l, xs_l, params_arg,
+                ea, ea, ea, eb, eb, eb, eahs, eahs, eahs,
+                ebhs, ebhs, ebhs,
+                a0s, a0s, a0s, ags, ags, ags,
+                rowcs, rowcs, rowcs, ncols, cedges)
+            na, nb, nahs, nbhs, nedges, sums = outs
+            sl = slice(H, H + MP_loc)
+            nedges = jax.lax.psum(nedges, axis)
+            sums = jax.lax.psum(sums, axis)
+            return ((na[:, sl], nb[:, sl], nahs[:, sl], nbhs[:, sl],
+                     nedges), sums)
+
+        return jax.lax.scan(launch, (a, b, ahs, bhs, edges),
+                            (xs_all, metas))
+
+    sp = P(None, axis)
+    sharded_body = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(sp, sp, sp, P(), sp, sp, sp, sp, P(), P(), P(), P()),
+        out_specs=((sp, sp, sp, sp, P()), P()), check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state: stencil.State, xs_all, metas, params_arg, emit_arr):
+        edges = jnp.zeros((NHP, 128), D)
+        edges = edges.at[:, 0].set(state.hs_edge_a)
+        edges = edges.at[:, 1].set(state.hs_edge_b)
+        presum0 = jnp.stack([
+            jnp.sum(state.a[0] * w_av_g), jnp.sum(state.b[1] * w_av_g),
+            jnp.sum(state.a[0] * w_av_phi_g),
+            jnp.sum(state.a[1] * w_av_g)])
+
+        (a, b, ahs, bhs, edges), sums_all = sharded_body(
+            a0_d, ag_d, rowc_d, ncol_d, state.a, state.b, state.a_hs,
+            state.b_hs, edges, xs_all, metas, params_arg)
+
+        LK = xs_all.shape[0] * K
+        sums_flat = sums_all.reshape(LK, SUM_LANES)
+        xs_flat = xs_all.reshape(LK, XS_LANES)
+
+        def av_step(av, row):
+            s_row, x_row = row
+            new = stencil.av_update_from_sums(
+                c, av, s_row[1], s_row[2], s_row[3], x_row[4], x_row[5])
+            out = jnp.where(x_row[6] > 0, new, av)
+            return out, out
+
+        av_final, av_seq = jax.lax.scan(
+            av_step, jnp.asarray(state.av), (sums_flat, xs_flat))
+        pre = jnp.concatenate([presum0[None, :], sums_flat[:-1, :4]])
+        obs = jnp.concatenate(
+            [pre[emit_arr, :4], xs_flat[emit_arr, 7:8],
+             av_seq[emit_arr]], axis=1)
+        return stencil.State(
+            a=a, b=b, a_hs=ahs, b_hs=bhs,
+            hs_edge_a=edges[:, 0], hs_edge_b=edges[:, 1], av=av_final,
+            t=state.t, step=state.step), obs
+
+    r = _StreamRunner(run, model, c, params, K,
+                      av_enabled=av_enabled, exact_trig=exact_trig)
+    r.engine = "stream-shard"
+    r.W_ext, r.S = W_ext, S
+    return r
+
+
+class _StreamRunner:
+    """Host-side wrapper shared by the single-device and sharded stream
+    engines: chunk -> padded launch tables (capacity in LAUNCH_QUANTUM
+    launches so nearby chunk lengths share a compile), step/t tracked
+    host-side like the megakernel Runner."""
+
+    engine = "stream"
+
+    def __init__(self, run, model, c, params, K, *, av_enabled=True,
+                 exact_trig=False):
+        self._run = run
+        self._model = model
+        self.c = c
+        self.params = params
+        self.K = K
+        self._av_enabled = av_enabled
+        self._exact_trig = exact_trig
+        self._cap = 0                    # capacity, in launches
+        self._jit_run = run
+        self.last_obs = None
+        self.step0 = 0
+        self.t0 = 0.0
+
+    def update_consts(self, c_new):
+        D = self._model.np_dtype
+        self.c = c_new
+        p = np.zeros(16, D)
+        for j, name in enumerate(SCALAR_FIELDS):
+            p[j] = D(getattr(c_new, name))
+        self.params = p
+
+    def reserve(self, n_steps):
+        launches = -(-n_steps // self.K)
+        L = -(-launches // LAUNCH_QUANTUM) * LAUNCH_QUANTUM
+        self._cap = max(self._cap, L)
+
+    def __call__(self, state, n_steps):
+        from .stepper_pallas import build_xs_table
+        D = self._model.np_dtype
+        xs = build_xs_table(self._model, self.c, self.t0, self.step0,
+                            n_steps, av_enabled=self._av_enabled,
+                            exact=self._exact_trig)
+        out = self._run_table(state, xs, n_steps, self.step0 % 2, ())
+        self.step0 += n_steps
+        self.t0 = float(D(xs[-1, 7] + D(self.c.dt)))
+        return out
+
+    def run_xs(self, state, xs_dict, parity0, emit_idx=()):
+        D = self._model.np_dtype
+        n = len(xs_dict["t"])
+        xs = np.zeros((n, XS_LANES), D)
+        xs[:, 0] = xs_dict["cos_t"]
+        xs[:, 1] = xs_dict["cos_t_dt"]
+        xs[:, 2] = xs_dict["cos_hs"]
+        xs[:, 3] = xs_dict["cos_hs_dt"]
+        xs[:, 4] = xs_dict["cos_av"]
+        xs[:, 5] = xs_dict["sin_av"]
+        xs[:, 6] = xs_dict["do_av"].astype(D)
+        xs[:, 7] = xs_dict["t"]
+        return self._run_table(state, xs, n, parity0, emit_idx)
+
+    def _run_table(self, state, xs_n, n, parity0, emit_idx):
+        D = self._model.np_dtype
+        K = self.K
+        self.reserve(n)
+        L = self._cap
+        xs = np.zeros((L * K, XS_LANES), D)
+        xs[:n] = xs_n[:, :XS_LANES]
+        metas = np.zeros((L, 4), np.int32)
+        full, tail = divmod(n, K)
+        metas[:full, 0] = K
+        if tail:
+            metas[full, 0] = tail
+        metas[:, 1] = (parity0 + np.arange(L) * K) % 2
+        emit = np.zeros(L * K, np.int32)
+        if len(emit_idx):
+            emit[:len(emit_idx)] = np.asarray(emit_idx, np.int32)
+        out, self.last_obs = self._run(
+            state, jnp.asarray(xs.reshape(L, K, XS_LANES)),
+            jnp.asarray(metas), jnp.asarray(self.params),
+            jnp.asarray(emit))
+        t_next = D(xs[n - 1, 7] + D(self.c.dt))
+        return out._replace(t=jnp.asarray(t_next), step=out.step + n)
+
+    def take_obs(self, n_emit):
+        """First n_emit display-77 records of the last run, one
+        transfer, ops/stencil.emission_record layout."""
+        return np.asarray(self.last_obs)[:n_emit, :13]

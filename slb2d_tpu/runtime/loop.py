@@ -87,8 +87,15 @@ class Simulation:
         self._engine = None
         impl = self.cfg.impl
         if self.cfg.shards > 1:
-            return "xla"   # the pallas engines are single-device;
-                           # config.validate rejects an explicit pallas
+            # explicit pallas/stream: the shard_map'd stream engine
+            # (ppermute halos every K steps); auto/xla stay on the
+            # shard_map'd XLA scan
+            if impl in ("pallas", "stream"):
+                if self.cfg.dtype != "f32":
+                    raise ValueError("impl=pallas requires dtype=f32")
+                self._engine = "stream-shard"
+                return "pallas"
+            return "xla"
         if impl == "auto":
             # pallas is float32-only and (on TPU) wants x64 off — Mosaic
             # lowering of mixed i32/i64 scalars is broken under x64.
@@ -116,7 +123,12 @@ class Simulation:
 
     def _pallas_runner(self):
         if self._pallas is None:
-            if self._engine == "stream":
+            if self._engine == "stream-shard":
+                from ..ops.stepper_stream import make_sharded_stream_runner
+                self._pallas = make_sharded_stream_runner(
+                    self.c, self.model, self._mesh,
+                    unroll=self.cfg.unroll or None)
+            elif self._engine == "stream":
                 from ..ops.stepper_stream import make_stream_runner
                 self._pallas = make_stream_runner(
                     self.c, self.model, unroll=self.cfg.unroll or None)

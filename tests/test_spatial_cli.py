@@ -82,10 +82,12 @@ def test_shards_repl_round(tmp_path, monkeypatch):
         np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14)
 
 
-def test_shards_rejects_pallas(capsys):
-    with pytest.raises(SystemExit):
-        cfgmod.parse_cmd(["display=4", *ARGS, "shards=4", "impl=pallas"])
-    capsys.readouterr()
+def test_shards_pallas_needs_f32():
+    # shards + impl=pallas is now legal (sharded stream engine) but the
+    # pallas engines remain float32-only
+    cfg = cfgmod.parse_cmd(["display=4", *ARGS, "shards=4", "impl=pallas"])
+    with pytest.raises(ValueError, match="dtype=f32"):
+        Simulation(cfg)
 
 
 def test_shards_indivisible_raises():

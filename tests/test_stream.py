@@ -80,6 +80,28 @@ def test_stream_matches_xla_scan(g_grid, n_harmonics):
     assert_state_close(out, ref)
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU invariant (tests force the CPU "
+                           "backend; set SLB2D_TPU_TESTS=1 to enable)")
+def test_stream_matches_xla_on_tpu_ulp_level():
+    """Compiled Mosaic lowering of the stream kernel tracks the XLA
+    engine at the ulp level on the real chip (production W/K geometry,
+    multiple tiles)."""
+    cfg, model, c = build(g_grid=2000, n_harmonics=40)
+    s0 = stencil.bootstrap_state(c, model)
+    runner = make_stream_runner(c, model)     # production K=48, W=2048
+    xs = sched_xs(model, cfg, 160, 0.161)
+    out = runner.run_xs(stencil.bootstrap_state(c, model),
+                        {k: v[:103] for k, v in xs.items()}, 0)
+    out = runner.run_xs(out, {k: v[103:] for k, v in xs.items()}, 1)
+    step = stencil.make_step_fn(c, av_enabled=True, exact_trig=True)
+    ref = jax.jit(lambda s, x: jax.lax.scan(step, s, x)[0])(s0, xs)
+    for f in ("a", "b", "a_hs", "b_hs", "av"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, f)), np.asarray(getattr(ref, f)),
+            rtol=0, atol=1e-6, err_msg=f)
+
+
 def test_stream_d77_records_match_emission_record():
     """In-stream display-77 records (per-step sums + av chain + gather)
     vs the XLA scan's collect_obs records."""
@@ -158,6 +180,54 @@ def test_simulation_impl_stream_display77(tmp_path, monkeypatch):
         vp = np.array(lp.split(), float)
         assert vx[13] == vp[13]                     # t bit-exact
         np.testing.assert_allclose(vp, vx, rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_stream_matches_xla_scan():
+    """The shard_map'd stream engine (ppermute halos every K steps) on
+    the 2-device CPU mesh vs the single-device XLA scan — the VERDICT r2
+    done-criterion 'equality-pinned at shards=2 on the CPU mesh'."""
+    from slb2d_tpu.ops.stepper_stream import make_sharded_stream_runner
+    from slb2d_tpu.parallel.mesh import make_mesh
+    from slb2d_tpu.parallel.spatial import shard_state
+
+    cfg, model, c = build(g_grid=509)          # MP=512 -> 256/shard
+    mesh = make_mesh((2,), ("space",))
+    runner = make_sharded_stream_runner(c, model, mesh, K=8)
+    s0 = shard_state(stencil.bootstrap_state(c, model), mesh)
+    xs = sched_xs(model, cfg, 120, 0.121)
+    out = runner.run_xs(s0, {k: v[:67] for k, v in xs.items()}, 0)
+    out = runner.run_xs(out, {k: v[67:] for k, v in xs.items()}, 1)
+
+    step = stencil.make_step_fn(c, av_enabled=True, exact_trig=True)
+    ref = jax.jit(lambda s, x: jax.lax.scan(step, s, x)[0])(
+        stencil.bootstrap_state(c, model), xs)
+    assert_state_close(out, ref)
+
+
+def test_simulation_sharded_stream_display4_and_77(tmp_path, monkeypatch):
+    """shards=2 + impl=pallas through the REAL driver: display 4 and the
+    batched display-77 records match the single-device XLA run."""
+    from slb2d_tpu.runtime.loop import Simulation
+    monkeypatch.chdir(tmp_path)
+    for display in (4, 77):
+        texts = {}
+        for tag, extra in (("xla", {}),
+                           ("shard", {"shards": 2, "impl": "pallas"})):
+            cfg = SimConfig(**{**CFG, "display": display, "g_grid": 509,
+                               "t_start": 0.15}, out_file=f"{tag}.txt",
+                            **extra)
+            sim = Simulation(cfg)
+            if tag == "shard":
+                assert sim._engine == "stream-shard"
+            sim.run()
+            texts[tag] = [l for l in open(tmp_path / f"{tag}.txt")
+                          .read().splitlines()
+                          if l and not l.startswith("#")]
+        assert len(texts["xla"]) == len(texts["shard"]) >= 1
+        for lx, lp in zip(texts["xla"], texts["shard"]):
+            np.testing.assert_allclose(
+                np.array(lp.split(), float), np.array(lx.split(), float),
+                rtol=2e-4, atol=1e-6, err_msg=f"display {display}")
 
 
 def test_impl_pallas_routes_to_stream_beyond_vmem_bound():
