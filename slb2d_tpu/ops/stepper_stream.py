@@ -58,9 +58,10 @@ LAUNCH_QUANTUM = 4         # xs capacity rounds to this many launches
 
 
 def default_k_steps() -> int:
-    """Steps per launch: 2K <= H bounds correctness; 48 amortizes the
-    HBM pass to ~1/6 of a single array pass per step."""
-    return 48
+    """Steps per launch: 2K <= H bounds correctness; K=64 uses the full
+    halo and measured fastest on v5e at N=100 M=12000 (3.38e10 vs
+    3.24e10 at K=32 and 2.98e10 at W=3072; tuning table in PERF.md)."""
+    return 64
 
 
 def default_tile_w(NHP: int) -> int:
@@ -297,7 +298,7 @@ def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
     if W is None:
         W = default_tile_w(NHP)
     if unroll is None:
-        unroll = 4 if NHP * (W + 2 * H) >= (64 * 1024) else 1
+        unroll = 8 if NHP * (W + 2 * H) >= (64 * 1024) else 1
     if unroll < 1:
         raise ValueError(f"unroll must be >= 1, got {unroll}")
     if 2 * K > H:
@@ -440,7 +441,7 @@ def make_sharded_stream_runner(c: stencil.StencilConsts, model, mesh,
     if K is None:
         K = default_k_steps()
     if unroll is None:
-        unroll = 4 if NHP * (W_ext + 2 * H) >= (64 * 1024) else 1
+        unroll = 8 if NHP * (W_ext + 2 * H) >= (64 * 1024) else 1
     if 2 * K > H:
         raise ValueError(f"K={K} violates the halo bound 2K <= H={H}")
     # per-shard VMEM working set: 4 state + ~15 temporaries of

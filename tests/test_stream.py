@@ -7,7 +7,7 @@ of tests/test_pallas.py plus tile-partial reduction ordering.  The
 configs here force SMALL tiles (W=128, K=8) so a modest grid exercises
 multiple tiles, clamped halo blocks at both global ends, partial tail
 launches, and capacity growth — the same geometry a >1M-point grid hits
-on the chip with the production W=2048/K=48.
+on the chip with the production W=2048/K=64.
 """
 
 import numpy as np
@@ -89,7 +89,7 @@ def test_stream_matches_xla_on_tpu_ulp_level():
     multiple tiles)."""
     cfg, model, c = build(g_grid=2000, n_harmonics=40)
     s0 = stencil.bootstrap_state(c, model)
-    runner = make_stream_runner(c, model)     # production K=48, W=2048
+    runner = make_stream_runner(c, model)     # production K=64, W=2048
     xs = sched_xs(model, cfg, 160, 0.161)
     out = runner.run_xs(stencil.bootstrap_state(c, model),
                         {k: v[:103] for k, v in xs.items()}, 0)
