@@ -355,9 +355,8 @@ def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
             jnp.sum(a[0] * w_av_p), jnp.sum(b[1] * w_av_p),
             jnp.sum(a[0] * w_av_phi_p), jnp.sum(a[1] * w_av_p)])
 
-        def launch(carry, inp):
+        def real(carry, xs_l, meta_l):
             ca, cb_, cahs, cbhs, cedges = carry
-            xs_l, meta_l = inp
             outs = launch_call(
                 meta_l, xs_l, params_arg,
                 ca, ca, ca, cb_, cb_, cb_, cahs, cahs, cahs,
@@ -366,6 +365,15 @@ def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
                 rowc_d, rowc_d, rowc_d, ncol_d, cedges)
             na, nb, nahs, nbhs, nedges, sums = outs
             return (na, nb, nahs, nbhs, nedges), sums
+
+        def launch(carry, inp):
+            xs_l, meta_l = inp
+            # capacity-padding launches (n=0) skip the kernel entirely —
+            # a real launch would still pay a full HBM read+write pass
+            return jax.lax.cond(
+                meta_l[0] > 0, real,
+                lambda c_, *_: (c_, jnp.zeros((K, SUM_LANES), D)),
+                carry, xs_l, meta_l)
 
         (a, b, ahs, bhs, edges), sums_all = jax.lax.scan(
             launch, (a, b, ahs, bhs, edges), (xs_all, metas))
@@ -510,9 +518,8 @@ def make_sharded_stream_runner(c: stencil.StencilConsts, model, mesh,
             recv_r = jax.lax.ppermute(x[:, :H], axis, perm_from_right)
             return jnp.concatenate([recv_l, x, recv_r], axis=1)
 
-        def launch(carry, inp):
+        def real(carry, xs_l, meta_l):
             ca, cb_, cahs, cbhs, cedges = carry
-            xs_l, meta_l = inp
             ea, eb, eahs, ebhs = ext(ca), ext(cb_), ext(cahs), ext(cbhs)
             outs = launch_call(
                 meta_l, xs_l, params_arg,
@@ -526,6 +533,16 @@ def make_sharded_stream_runner(c: stencil.StencilConsts, model, mesh,
             sums = jax.lax.psum(sums, axis)
             return ((na[:, sl], nb[:, sl], nahs[:, sl], nbhs[:, sl],
                      nedges), sums)
+
+        def launch(carry, inp):
+            xs_l, meta_l = inp
+            # n=0 capacity padding: skip kernel, ppermutes and psums (the
+            # replicated meta makes the predicate uniform across shards)
+            return jax.lax.cond(
+                meta_l[0] > 0, real,
+                lambda c_, *_: (c_, jnp.zeros((K, SUM_LANES),
+                                              jnp.float32)),
+                carry, xs_l, meta_l)
 
         return jax.lax.scan(launch, (a, b, ahs, bhs, edges),
                             (xs_all, metas))
