@@ -230,6 +230,40 @@ def test_simulation_sharded_stream_display4_and_77(tmp_path, monkeypatch):
                 rtol=2e-4, atol=1e-6, err_msg=f"display {display}")
 
 
+def test_simulation_impl_stream_movie_and_strobe(tmp_path, monkeypatch):
+    """Displays 7 and 9 through the driver with impl=stream: same frame
+    files as impl=xla (frame-mode chunks are ~10 steps — exercises the
+    cond-skipped capacity-padding launches)."""
+    import glob
+
+    from slb2d_tpu.runtime.loop import Simulation
+    monkeypatch.chdir(tmp_path)
+    for display, pat in ((7, "frame*.data"), (9, "strobe*.data")):
+        frames = {}
+        for impl in ("xla", "stream"):
+            d = tmp_path / f"d{display}_{impl}"
+            d.mkdir()
+            monkeypatch.chdir(d)
+            kw = {"t_start": 0.05} if display == 9 else {"t_start": 0.1}
+            cfg = SimConfig(**{**CFG, "display": display, "g_grid": 64,
+                               **kw}, impl=impl, out_file="out.txt",
+                            frame_batch=1)
+            sim = Simulation(cfg)
+            if display == 9:
+                sim.t_max = float(np.float32(
+                    np.float32(kw["t_start"])
+                    + np.float32(3 * sim.model.T)))
+            sim.run()
+            frames[impl] = sorted(glob.glob(str(d / pat)))
+        assert len(frames["xla"]) == len(frames["stream"]) >= 3
+        for fx, fp in zip(frames["xla"], frames["stream"]):
+            vx = np.array([l.split()[2] for l in open(fx)
+                           if not l.startswith("#")], float)
+            vp = np.array([l.split()[2] for l in open(fp)
+                           if not l.startswith("#")], float)
+            np.testing.assert_allclose(vp, vx, rtol=2e-4, atol=1e-6)
+
+
 def test_impl_pallas_routes_to_stream_beyond_vmem_bound():
     """impl=pallas is legal at ANY size: beyond the megakernel's measured
     VMEM bound the driver picks the stream engine instead of warning/
