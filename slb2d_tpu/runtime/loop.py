@@ -334,9 +334,22 @@ class Simulation:
                     self.state, chunk.xs, self.steps_done % 2,
                     emit_idx=chunk.emit_idx)
                 if chunk.emit_idx:
-                    for rec in runner.take_obs(len(chunk.emit_idx)):
-                        writers.write_display77_from_record(
-                            self.out, self.model, rec, quiet=self.quiet)
+                    # fetch + format in the IO worker so the tunnel RPC
+                    # overlaps the next chunk's compute (the obs table is
+                    # a fresh kernel output — safe against donation; the
+                    # single worker preserves line order)
+                    obs_dev = runner.last_obs
+                    n_emit = len(chunk.emit_idx)
+
+                    def write(obs_dev=obs_dev, n_emit=n_emit,
+                              out=self.out, model=self.model):
+                        # out/model bound NOW: a REPL mutation may swap
+                        # self.model before the worker runs this job
+                        recs = np.asarray(obs_dev)[:n_emit, :13]
+                        for rec in recs:
+                            writers.write_display77_from_record(
+                                out, model, rec, quiet=self.quiet)
+                    self._io_pool_submit(write)
             else:
                 self.state, ys = self._runner(chunk.n_steps)(self.state,
                                                              chunk.xs)
