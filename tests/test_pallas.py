@@ -110,6 +110,33 @@ def test_pallas_inkernel_d77_records_match_xla(tmp_path, monkeypatch):
         np.testing.assert_allclose(vp, vx, rtol=2e-4, atol=1e-6)
 
 
+def test_pallas_repl_session_matches_xla(tmp_path, monkeypatch):
+    """A parameter-server session (two mutations) through the megakernel:
+    the SMEM params swap must reproduce the XLA engine's display-4 lines
+    (frozen a0/bdt semantics, moved averaging windows, t continuation)."""
+    import io
+
+    from slb2d_tpu.runtime.loop import Simulation
+
+    monkeypatch.chdir(tmp_path)
+    session = "E_dc 1.5 0.1\nomega 12.0 0.1\nexit\n"
+    rows = {}
+    for impl in ("xla", "pallas", "stream"):
+        cfg = SimConfig(**{**CFG, "t_start": 0.15, "omega": 10.0},
+                        impl=impl, read_from="stdin",
+                        out_file=f"{impl}.txt")
+        Simulation(cfg).run(repl_stream=io.StringIO(session))
+        rows[impl] = [np.array(l.split(), float)
+                      for l in open(tmp_path / f"{impl}.txt")
+                      if l and not l.startswith("#")]
+    assert len(rows["xla"]) == len(rows["pallas"]) == 3
+    for other in ("pallas", "stream"):
+        assert len(rows[other]) == 3
+        for rx, rp in zip(rows["xla"], rows[other]):
+            np.testing.assert_allclose(rp, rx, rtol=2e-4, atol=1e-6,
+                                       err_msg=other)
+
+
 def test_pallas_parity_ghost_cells():
     """The parity ghost fill must survive chunk boundaries (odd-length
     chunk flips parity)."""
