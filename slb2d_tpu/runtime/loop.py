@@ -41,6 +41,7 @@ class Simulation:
         self.frame_number = 1
         self.strobe_values = None
         self._frame_batch = []
+        self._obs_batch = []
         # cross-round float carries (reference keeps these across the
         # parameter-server loop)
         self.frame_time = 0.0
@@ -334,22 +335,20 @@ class Simulation:
                     self.state, chunk.xs, self.steps_done % 2,
                     emit_idx=chunk.emit_idx)
                 if chunk.emit_idx:
-                    # fetch + format in the IO worker so the tunnel RPC
-                    # overlaps the next chunk's compute (the obs table is
-                    # a fresh kernel output — safe against donation; the
-                    # single worker preserves line order)
-                    obs_dev = runner.last_obs
-                    n_emit = len(chunk.emit_idx)
-
-                    def write(obs_dev=obs_dev, n_emit=n_emit,
-                              out=self.out, model=self.model):
-                        # out/model bound NOW: a REPL mutation may swap
-                        # self.model before the worker runs this job
-                        recs = np.asarray(obs_dev)[:n_emit, :13]
-                        for rec in recs:
-                            writers.write_display77_from_record(
-                                out, model, rec, quiet=self.quiet)
-                    self._io_pool_submit(write)
+                    # accumulate obs tables on device; they cross the
+                    # host link stacked, frame_batch chunks per transfer,
+                    # fetched + formatted in the IO worker (each separate
+                    # fetch costs a full tunnel RPC — the megakernel's
+                    # SMEM table caps chunks at 512 steps, so per-chunk
+                    # fetches dominated the d77 wall: measured 1.1e10 vs
+                    # 4.9e10 display-4).  out/model bound NOW: a REPL
+                    # mutation may swap self.model before the flush.
+                    self._obs_batch.append(
+                        (runner.last_obs, len(chunk.emit_idx),
+                         self.out, self.model))
+                    if len(self._obs_batch) >= max(1,
+                                                   self.cfg.frame_batch):
+                        self._flush_obs_batch()
             else:
                 self.state, ys = self._runner(chunk.n_steps)(self.state,
                                                              chunk.xs)
@@ -362,6 +361,7 @@ class Simulation:
             self._handle_event(chunk, prev_rows)
             self._progress(chunk)
         self._flush_frame_batch()
+        self._flush_obs_batch()
         self.frame_time = carry.get("frame_time", self.frame_time)
         self.last_rem = carry.get("last_rem", self.last_rem)
         self.t_exit = carry.get("t_exit", self.t0)
@@ -456,6 +456,27 @@ class Simulation:
         self._frame_batch.append((fname, F, norm_sum, finish, t, kind))
         if len(self._frame_batch) >= max(1, self.cfg.frame_batch):
             self._flush_frame_batch()
+
+    def _flush_obs_batch(self):
+        """Stack the pending display-77 obs tables (pallas engines) and
+        submit one fetch+format job; the single IO worker preserves line
+        order."""
+        batch, self._obs_batch = self._obs_batch, []
+        if not batch:
+            return
+        import jax.numpy as jnp
+        same_shape = len({b[0].shape for b in batch}) == 1
+        stacked = (jnp.stack([b[0] for b in batch]) if same_shape
+                   else [b[0] for b in batch])
+
+        def write(batch=batch, stacked=stacked, quiet=self.quiet):
+            host = (np.asarray(stacked) if same_shape
+                    else [np.asarray(t) for t in stacked])
+            for (_, n_emit, out, model), tbl in zip(batch, host):
+                for rec in tbl[:n_emit, :13]:
+                    writers.write_display77_from_record(
+                        out, model, rec, quiet=quiet)
+        self._io_pool_submit(write)
 
     def _flush_frame_batch(self):
         """Stack the pending movie frames on device and submit one
