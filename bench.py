@@ -112,6 +112,31 @@ def bench_driver(impl: str, N=100, M=4000, t_start=10.0, exact_time=True,
     return updates / wall, wall, steps
 
 
+def bench_sweep_stack(B=64, N=40, M=500, K=6144):
+    """Sublane-stacked VMEM-resident sweep megakernel (ops/sweep_stack.py)
+    at the BASELINE #2 shape, compile-excluded."""
+    from slb2d_tpu.parallel.sweep import ParameterSweep
+    from slb2d_tpu.ops.sweep_stack import SweepStackRunner
+
+    cfg = SimConfig(display=4, E_dc=1.0, E_omega=2.0, omega=1.0, mu=1.0,
+                    alpha=0.9495, n_harmonics=N, phi_y_min=-10.0,
+                    phi_y_max=10.0, B=0.1, t_start=0.1, g_grid=M, dt=1e-3,
+                    impl="pallas")
+    sw = ParameterSweep(cfg, {"E_dc": np.linspace(0.1, 3.0, B)})
+    runner = SweepStackRunner(sw)
+    states = sw._initial_states()
+    states = runner.advance(states, 512)          # compile + warm
+    np.asarray(states.t)
+    time.sleep(5)
+    t0 = time.perf_counter()
+    states = runner.advance(states, K)
+    a_host = np.asarray(states.a)
+    wall = time.perf_counter() - t0
+    assert np.all(np.isfinite(a_host))
+    agg = 2 * (N + 1) * (M + 1) * K * B
+    return agg / wall, wall, K
+
+
 def bench_sweep_pallas(B=64, N=40, M=500):
     """Lane-packed pallas sweep kernel: the full 64-point one-period
     absorption-map run (BASELINE #2 shape), compile-excluded."""
@@ -214,6 +239,8 @@ def main():
         sub = sys.argv[2] if len(sys.argv) > 2 else "xla"
         if sub == "pallas":
             ups, wall, steps = bench_sweep_pallas()
+        elif sub == "stack":
+            ups, wall, steps = bench_sweep_stack()
         else:
             ups, wall, steps = bench_sweep()
         print(json.dumps({

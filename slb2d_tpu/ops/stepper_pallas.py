@@ -429,17 +429,23 @@ def build_xs_table(model, c, t0, step0, n_steps, *, av_enabled, exact):
     om = D(c.omega)
     dt = D(c.dt)
     if exact:
-        t = D(t0)
-        for i in range(n_steps):
-            t_hs = D(t + dt / 2)
-            xs[i, 0] = D(np.cos(f64(D(om * t))))
-            xs[i, 1] = D(np.cos(f64(D(om * D(t + dt)))))
-            xs[i, 2] = D(np.cos(f64(D(om * t_hs))))
-            xs[i, 3] = D(np.cos(f64(D(om * D(t_hs + dt)))))
-            xs[i, 4] = xs[i, 0]
-            xs[i, 5] = D(np.sin(f64(D(om * t))))
-            xs[i, 7] = t
-            t = D(t + dt)
+        # vectorized image of the C driver's sequential f32 accumulation
+        # (the same construction runtime/schedule.iter_chunks uses, which
+        # is cross-checked against the scalar loop there): strictly
+        # sequential t via np.add.accumulate, f32 products, f64 trig
+        from ..runtime.schedule import accum_sequence
+        ts = accum_sequence(t0, dt, n_steps, D)
+        prod = (om * ts).astype(D)
+        cos_all = np.cos(prod.astype(f64)).astype(D)
+        t_hs = (ts[:n_steps] + D(dt / 2)).astype(D)
+        xs[:, 0] = cos_all[:n_steps]
+        xs[:, 1] = cos_all[1:]
+        xs[:, 2] = np.cos((om * t_hs).astype(D).astype(f64)).astype(D)
+        xs[:, 3] = np.cos((om * (t_hs + dt).astype(D)).astype(D)
+                          .astype(f64)).astype(D)
+        xs[:, 4] = xs[:, 0]
+        xs[:, 5] = np.sin(prod[:n_steps].astype(f64)).astype(D)
+        xs[:, 7] = ts[:n_steps]
     else:
         # n_steps+1 sample points so cos_t_dt[i] IS cos_t[i+1] bitwise —
         # the identity the kernel's carried mu_t relies on (the vectorized

@@ -1,0 +1,380 @@
+"""Sublane-stacked sweep megakernel: VMEM-resident parameter sweeps.
+
+The production sweep engine (parallel/sweep.py) vmaps the XLA stencil
+over the point batch — every step streams the whole (B, NHP, MP) state
+through HBM (~10 array passes/step), measured HBM-bound at 1.93e10
+aggregate site-updates/s on BASELINE #2 (64 points, N=40 M=500).
+
+This engine instead STACKS points along the sublane (harmonic) axis:
+the batch becomes one (B*NHP, MP) array per state buffer, and a Pallas
+grid walks point-GROUPS of G points — each (G*NHP, MP) group stays
+VMEM-resident for a whole chunk of K steps (megakernel-class residency,
+stepper_pallas.py), with zero halo/overlap cost because points are
+independent along the stacked axis: the stencil's n±1 rolls leak across
+point boundaries only into rows the existing row masks already zero
+(row N is never updated; w_n[0]=0 and n_ge2[0..1]=0 kill the n-1 terms
+at n<2 — the same data-driven branch elimination that handles the
+physical n=0/1 special cases, ops/stencil.py).
+
+Per-point physics scalars (E_dc, E_omega, B, bdt — reference constant
+memory, src/boltzmann_gpu.cu:57-82) ride a (B*NHP, 128) column table and
+broadcast row-wise through the SAME stencil math (apply_half_step takes
+them as (rows, 1) columns transparently).  The running av() reduction
+becomes COLUMN-wise: each row carries the running chain of its own
+weighted row-sum, and only the physically meaningful rows (row 0 of a
+point for v_y, row 1 for v_dr/m_x/quadratures) are read out — per-point
+E_omega>0 gating (reference src/boltzmann_c_solver.c:188) is an `egate`
+column.
+
+Constraints: omega, dt, t-max are shared across points (one trig/xs
+table and one averaging window; ParameterSweep falls back to the vmapped
+XLA engine when omega is swept or a mesh is attached).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import stencil
+from .stepper_pallas import (XS_LANES, _pl_shift, build_xs_table,
+                             capacity_rows)
+
+# pparams columns
+PP_EDC, PP_EOM, PP_B, PP_BDT, PP_EGATE = range(5)
+# av columns: count, <v_dr>, <v_y>, <m_x>, A, Asin, Kahan(A), Kahan(Asin)
+AV_COLS = 8
+
+
+def default_group_points(NHP: int, MP: int) -> int:
+    """Points per VMEM-resident group (~400k f32 elements of state per
+    group, the stepper_stream working-set heuristic)."""
+    return max(1, 400_000 // (NHP * MP))
+
+
+def _kernel(meta_ref, xs_ref, sparams_ref,
+            a_ref, b_ref, ahs_ref, bhs_ref, a0_ref, ag_ref,
+            pp_ref, ncol_ref, rowm_ref, edges_ref, av_ref,
+            a_out, b_out, ahs_out, bhs_out, edges_out, av_out,
+            *, unroll: int, edge_col: int):
+    """Advance one point-group meta[0] steps in VMEM (see module doc)."""
+    dtype = a_ref.dtype
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    ME = edge_col
+
+    a_out[:] = a_ref[:]
+    b_out[:] = b_ref[:]
+    ahs_out[:] = ahs_ref[:]
+    bhs_out[:] = bhs_ref[:]
+    edges_out[:] = edges_ref[:]
+    av_out[:] = av_ref[:]
+
+    nf = ncol_ref[:, 0:1]
+    phi_row = rowm_ref[0:1, :]
+    wav_row = rowm_ref[1:2, :]
+    wavphi_row = rowm_ref[2:3, :]
+    consts = stencil.StencilConsts(
+        a0=a0_ref[:], a0_ghost=ag_ref[:], phi=phi_row,
+        n_float=nf, row_update=ncol_ref[:, 3:4] > 0,
+        n_ge2=ncol_ref[:, 1:2], w_n=ncol_ref[:, 2:3], b_row_mask=nf > 0,
+        col_main=rowm_ref[3:4, :] > 0, col_half=rowm_ref[4:5, :] > 0,
+        w_av=wav_row, w_av_phi=wavphi_row, col_edge=rowm_ref[5:6, :] > 0,
+        E_dc=pp_ref[:, 0:1], E_omega=pp_ref[:, 1:2], B=pp_ref[:, 2:3],
+        bdt=pp_ref[:, 3:4],
+        dt=sparams_ref[0], nu=sparams_ref[1], nu2=sparams_ref[2],
+        nu_tilde=sparams_ref[3], omega=sparams_ref[4],
+        t_start=sparams_ref[5], t_end=sparams_ref[6])
+    eg = pp_ref[:, 4:5]
+    dt = consts.dt
+
+    def mu_of(cos_v):
+        # per-point columns broadcast through the C operand order
+        return nf * ((consts.E_dc + consts.E_omega * cos_v
+                      + consts.B * phi_row) * dt / 2)
+
+    def do_step(i, mu_main):
+        cos_t = xs_ref[i, 0]
+        cos_t_dt = xs_ref[i, 1]
+        cos_hs = xs_ref[i, 2]
+        cos_hs_dt = xs_ref[i, 3]
+        cos_av = xs_ref[i, 4]
+        sin_av = xs_ref[i, 5]
+        do_av = xs_ref[i, 6] > 0
+
+        a = a_out[:]
+        b = b_out[:]
+        ahs = ahs_out[:]
+        bhs = bhs_out[:]
+
+        mu1_main = mu_of(cos_t_dt)
+        a_new, b_new = stencil.apply_half_step(
+            consts, a, b, ahs, bhs, cos_t, cos_t_dt, main=True,
+            shift=_pl_shift, use_reciprocal=True,
+            mus=(mu_main, mu1_main))
+        ghost_on = ((i + meta_ref[1] + np.int32(1)) % np.int32(2)) == 0
+        gf = jnp.where(ghost_on, one, zero)
+        a_new = a_new + gf * consts.a0_ghost
+
+        ahs_new, bhs_new = stencil.apply_half_step(
+            consts, ahs, bhs, a_new, b_new, cos_hs, cos_hs_dt, main=False,
+            shift=_pl_shift, use_reciprocal=True,
+            mus=(mu_of(cos_hs), mu_of(cos_hs_dt)))
+        old_edge_a = edges_out[:, 0:1]
+        old_edge_b = edges_out[:, 1:2]
+        new_edge_a = ahs[:, ME:ME + 1]
+        new_edge_b = bhs[:, ME:ME + 1]
+
+        # columnar av(): every row runs the chain of its own row-sum;
+        # only rows 0/1 of each point are read out (module doc)
+        @pl.when(do_av)
+        def _():
+            cnt = av_out[:, 0:1] + eg
+            cnt_safe = jnp.maximum(cnt, one)
+            s_vdr = jnp.sum(b_new * wav_row, axis=1, keepdims=True)
+            s_vy = jnp.sum(a_new * wavphi_row, axis=1, keepdims=True)
+            s_mx = jnp.sum(a_new * wav_row, axis=1, keepdims=True)
+            av_out[:, 1:2] = (av_out[:, 1:2]
+                              + eg * (s_vdr - av_out[:, 1:2]) / cnt_safe)
+            av_out[:, 2:3] = (av_out[:, 2:3]
+                              + eg * (s_vy - av_out[:, 2:3]) / cnt_safe)
+            av_out[:, 3:4] = (av_out[:, 3:4]
+                              + eg * (s_mx - av_out[:, 3:4]) / cnt_safe)
+            y4 = eg * (cos_av * s_vdr * dt) - av_out[:, 6:7]
+            t4 = av_out[:, 4:5] + y4
+            av_out[:, 6:7] = (t4 - av_out[:, 4:5]) - y4
+            av_out[:, 4:5] = t4
+            y5 = eg * (sin_av * s_vdr * dt) - av_out[:, 7:8]
+            t5 = av_out[:, 5:6] + y5
+            av_out[:, 7:8] = (t5 - av_out[:, 5:6]) - y5
+            av_out[:, 5:6] = t5
+            av_out[:, 0:1] = cnt
+
+        a_out[:] = a_new
+        b_out[:] = b_new
+        ahs_out[:] = ahs_new
+        bhs_out[:] = bhs_new
+        ahs_out[:, ME:ME + 1] = old_edge_a
+        bhs_out[:, ME:ME + 1] = old_edge_b
+        edges_out[:, 0:1] = new_edge_a
+        edges_out[:, 1:2] = new_edge_b
+        return mu1_main
+
+    def body(j, carry):
+        i = j * np.int32(unroll)
+        for k in range(unroll):
+            carry = do_step(i + np.int32(k), carry)
+        return carry
+
+    n = meta_ref[0]
+    n_by = n // np.int32(unroll)
+    carry = mu_of(xs_ref[np.int32(0), 0])
+    carry = jax.lax.fori_loop(np.int32(0), n_by, body, carry)
+    jax.lax.fori_loop(n_by * np.int32(unroll), n, do_step, carry)
+
+
+class SweepStackRunner:
+    """advance(states, n_steps) for a ParameterSweep batch: states keep
+    the canonical (B, NHP, MP) layout (checkpoint/capture compatible);
+    each call reshapes to the stacked layout, runs ceil-padded point
+    groups through the kernel grid, and reshapes back.  One compiled
+    executable serves every chunk length (SMEM meta + padded xs capacity,
+    the stepper_pallas design)."""
+
+    def __init__(self, sweep, interpret=None, unroll=None, g_points=None):
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        base = sweep.base
+        D = base.np_dtype
+        if D != np.float32:
+            raise ValueError("sweep stack engine is float32-only")
+        if "omega" in sweep.params:
+            raise ValueError("sweep stack engine needs a shared omega "
+                             "(per-point trig tables are not stacked)")
+        self.sweep = sweep
+        self.base = base
+        B, NHP, MP = sweep.B, base.NHP, base.MP
+        G = g_points or min(B, default_group_points(NHP, MP))
+        Bp = -(-B // G) * G
+        self.B, self.Bp, self.G, self.NHP, self.MP = B, Bp, G, NHP, MP
+        GR = G * NHP
+        n_groups = Bp // G
+        pad_sel = np.concatenate(
+            [np.arange(B), np.zeros(Bp - B, np.int64)])
+        self._pad_sel = pad_sel
+
+        models = [sweep.models[i] for i in pad_sel]
+        c0 = stencil.consts_from_model(base)
+        self.c0 = c0
+
+        a0 = np.concatenate([np.asarray(m.a0, D) for m in models])
+        ag = np.concatenate([np.asarray(m.a0_ghost, D) for m in models])
+        pp = np.zeros((Bp * NHP, 128), D)
+        for p, m in enumerate(models):
+            rows = slice(p * NHP, (p + 1) * NHP)
+            pp[rows, PP_EDC] = D(m.E_dc)
+            pp[rows, PP_EOM] = D(m.E_omega)
+            pp[rows, PP_B] = D(m.B)
+            pp[rows, PP_BDT] = D(m.bdt)
+            pp[rows, PP_EGATE] = D(1) if float(m.E_omega) > 0 else D(0)
+        ncol1 = np.zeros((NHP, 128), D)
+        ncol1[:, 0] = np.asarray(c0.n_float, D).ravel()
+        ncol1[:, 1] = np.asarray(c0.n_ge2, D).ravel()
+        ncol1[:, 2] = np.asarray(c0.w_n, D).ravel()
+        ncol1[:, 3] = np.asarray(c0.row_update, D).ravel()
+        ncol = np.tile(ncol1, (Bp, 1))
+        rowm = np.zeros((8, MP), D)
+        rowm[0] = np.asarray(c0.phi, D)
+        rowm[1] = np.asarray(c0.w_av, D)
+        rowm[2] = np.asarray(c0.w_av_phi, D)
+        rowm[3] = np.asarray(c0.col_main, D).ravel()
+        rowm[4] = np.asarray(c0.col_half, D).ravel()
+        rowm[5] = np.asarray(c0.col_edge, D).ravel()
+
+        sparams = np.zeros(16, D)
+        t_end = D(D(base.cfg.t_start) + base.T)
+        for j, v in enumerate((base.dt, base.nu, base.nu2, base.nu_tilde,
+                               base.omega, D(base.cfg.t_start), t_end)):
+            sparams[j] = D(v)
+        self.t_end = float(t_end)
+
+        kernel = functools.partial(
+            _kernel,
+            unroll=(unroll or (8 if GR * MP >= 64 * 1024 else 1)),
+            edge_col=base.M + 1)
+
+        def _blk(rows, lanes):
+            return pl.BlockSpec((rows, lanes), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        def _shared(shape, space=pltpu.VMEM):
+            nd = len(shape)
+            return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                                memory_space=space)
+
+        def make_call(cap):
+            return pl.pallas_call(
+                kernel,
+                grid=(n_groups,),
+                in_specs=[
+                    _shared((4,), pltpu.SMEM),
+                    _shared((cap, XS_LANES), pltpu.SMEM),
+                    _shared((16,), pltpu.SMEM),
+                    _blk(GR, MP), _blk(GR, MP), _blk(GR, MP),
+                    _blk(GR, MP), _blk(GR, MP), _blk(GR, MP),
+                    _blk(GR, 128), _blk(GR, 128), _shared((8, MP)),
+                    _blk(GR, 128), _blk(GR, 128),
+                ],
+                out_specs=[_blk(GR, MP)] * 4 + [_blk(GR, 128)] * 2,
+                out_shape=[jax.ShapeDtypeStruct((Bp * NHP, MP), D)
+                           for _ in range(4)]
+                + [jax.ShapeDtypeStruct((Bp * NHP, 128), D)] * 2,
+                input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3,
+                                      12: 4, 13: 5},
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )
+
+        consts_dev = tuple(jnp.asarray(x)
+                           for x in (a0, ag, pp, ncol, rowm))
+        psel = jnp.asarray(pad_sel)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(states: stencil.State, xs_table, sparams_arg, meta):
+            # (B, NHP, MP) batched -> (Bp*NHP, MP) stacked, pad by point 0
+            def stack(x):
+                return x[psel].reshape(Bp * NHP, MP)
+
+            a, b = stack(states.a), stack(states.b)
+            ahs, bhs = stack(states.a_hs), stack(states.b_hs)
+            edges = jnp.zeros((Bp * NHP, 128), D)
+            edges = edges.at[:, 0].set(
+                states.hs_edge_a[psel].reshape(Bp * NHP))
+            edges = edges.at[:, 1].set(
+                states.hs_edge_b[psel].reshape(Bp * NHP))
+            # broadcast per-point av to all of its rows: each row then
+            # carries a valid chain for ITS row-sum; rows 0/1 are read out
+            av = jnp.zeros((Bp * NHP, 128), D)
+            av = av.at[:, :AV_COLS].set(
+                jnp.repeat(states.av[psel], NHP, axis=0))
+
+            a0d, agd, ppd, ncold, rowmd = consts_dev
+            outs = make_call(xs_table.shape[0])(
+                meta, xs_table, sparams_arg,
+                a, b, ahs, bhs, a0d, agd, ppd, ncold, rowmd, edges, av)
+            a, b, ahs, bhs, edges_o, av_o = outs
+
+            def unstack(x):
+                return x.reshape(Bp, NHP, MP)[:self.B]
+
+            r0 = jnp.arange(self.B) * NHP
+            av_new = jnp.stack([
+                av_o[r0, 0], av_o[r0 + 1, 1], av_o[r0, 2],
+                av_o[r0 + 1, 3], av_o[r0 + 1, 4], av_o[r0 + 1, 5],
+                av_o[r0 + 1, 6], av_o[r0 + 1, 7]], axis=1)
+            n = meta[0]
+            t_next = xs_table[n - 1, 7] + D(self.base.dt)
+            return stencil.State(
+                a=unstack(a), b=unstack(b), a_hs=unstack(ahs),
+                b_hs=unstack(bhs),
+                hs_edge_a=edges_o[:, 0].reshape(Bp, NHP)[:self.B],
+                hs_edge_b=edges_o[:, 1].reshape(Bp, NHP)[:self.B],
+                av=av_new,
+                t=jnp.broadcast_to(t_next, (self.B,)),
+                step=states.step + n)
+
+        self._jit_run = run
+        self.sparams = sparams
+        self._cap = 0
+        self.step0 = 0
+        self.t0 = 0.0
+
+    def reserve(self, n_steps):
+        self._cap = max(self._cap, capacity_rows(n_steps))
+
+    def seek(self, done_steps):
+        """Position the host-side (t, step) trackers at an absolute step
+        count (checkpoint resume)."""
+        if done_steps != self.step0:
+            from ..runtime.schedule import accum_sequence
+            self.step0 = done_steps
+            self.t0 = float(accum_sequence(0.0, float(self.base.dt),
+                                           done_steps,
+                                           self.base.np_dtype)[-1])
+
+    def advance(self, states, n_steps):
+        """Advance the whole batch n_steps (chunked internally at the
+        SMEM xs capacity limit of 512 steps per launch)."""
+        D = self.base.np_dtype
+        done = 0
+        while done < n_steps:
+            k = min(512, n_steps - done)
+            # exact tables: the vmapped XLA engine carries per-point t by
+            # sequential f32 accumulation — the exact table reproduces
+            # that bit-for-bit, so per-step averaging gates cannot drift
+            # by a step between the two sweep engines
+            xs = build_xs_table(self.base, self.c0, self.t0,
+                                self.step0, k, av_enabled=True, exact=True)
+            # per-point E_omega gating rides the kernel's egate column;
+            # the table's global gate is the time window only
+            xs[:, 6] = ((xs[:, 7] >= D(self.base.cfg.t_start))
+                        & (xs[:, 7] < D(self.t_end))).astype(D)
+            self.reserve(k)
+            t_last = xs[k - 1, 7]
+            if xs.shape[0] < self._cap:
+                xs = np.concatenate(
+                    [xs, np.zeros((self._cap - k, XS_LANES), D)])
+            meta = jnp.asarray(np.array([k, self.step0 % 2, 0, 0],
+                                        np.int32))
+            states = self._jit_run(states, jnp.asarray(xs),
+                                   jnp.asarray(self.sparams), meta)
+            self.step0 += k
+            self.t0 = float(D(t_last + D(self.base.dt)))
+            done += k
+        return states

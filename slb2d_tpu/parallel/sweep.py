@@ -217,6 +217,7 @@ class ParameterSweep:
         axes["t_end"] = 0
         self.consts = stencil.StencilConsts(**batched)
         self.in_axes = stencil.StencilConsts(**axes)
+        self._stack_runner = None
 
         # shared step count: the longest point's loop trip count
         self.n_steps = max(
@@ -295,6 +296,25 @@ class ParameterSweep:
         if self.mesh is not None and self.space_axis is not None:
             advance, states, cap = self._spatial_advance(
                 weights, cap, states, unroll, capture_state)
+        elif self._use_stack_engine():
+            # sublane-stacked VMEM-resident sweep megakernel
+            # (ops/sweep_stack.py): the whole batch advances as point
+            # groups resident in VMEM — ~10 HBM array passes/step of the
+            # vmapped scan become one read+write per chunk.  The capture
+            # semantics collapse to "post-step sums of the final state"
+            # because a shared omega means every point exits at the same
+            # step (the per-step rolling capture only matters when t_end
+            # varies).
+            from ..ops.sweep_stack import SweepStackRunner
+            if self._stack_runner is None:
+                self._stack_runner = SweepStackRunner(self)
+            runner = self._stack_runner
+            runner.seek(done)            # resume-aware t/step trackers
+            capj = self._capture_fn(weights, capture_state)
+
+            def advance(st, cp, k):
+                st = runner.advance(st, k)
+                return st, capj(st)
         else:
             consts = self.consts
             if self.mesh is not None:
@@ -336,6 +356,38 @@ class ParameterSweep:
             self.final_ab = (self._fetch(cap.pop("a")),
                              self._fetch(cap.pop("b")))
         return self._finalize(states, cap)
+
+    def _use_stack_engine(self) -> bool:
+        """Eligibility for the stacked sweep megakernel: no mesh (single
+        device), float32, shared omega (one trig table / exit step).
+        impl=pallas|stream forces it (interpret mode off-TPU, for tests);
+        impl=auto takes it on TPU; impl=xla never."""
+        if self.mesh is not None or self.base.np_dtype != np.float32:
+            return False
+        if "omega" in self.params:
+            return False
+        impl = self.cfg.impl
+        if impl == "xla":
+            return False
+        if impl in ("pallas", "stream"):
+            return True
+        return jax.default_backend() == "tpu"
+
+    def _capture_fn(self, weights, capture_state):
+        """Loop-exit capture from the CURRENT states (valid because all
+        points share t_end): the same sums _make_point_step rolls."""
+        @jax.jit
+        def capj(st):
+            cap = dict(
+                v_dr=jnp.sum(st.b[:, 1, :] * weights["w_d4"], axis=-1),
+                v_y=jnp.sum(st.a[:, 0, :] * weights["w_d4_phi"], axis=-1),
+                m_x=jnp.sum(st.a[:, 1, :] * weights["w_d4"], axis=-1),
+                norm=jnp.sum(st.a[:, 0, :] * weights["w_norm"], axis=-1))
+            if capture_state:
+                cap["a"] = st.a
+                cap["b"] = st.b
+            return cap
+        return capj
 
     def _spatial_advance(self, weights, cap0, states, unroll,
                          capture_state=False):

@@ -1,0 +1,112 @@
+"""Sublane-stacked sweep megakernel (ops/sweep_stack.py) vs the vmapped
+XLA sweep engine.
+
+impl=pallas forces the stacked engine off-TPU (interpreter mode), so
+these run on the CPU backend; geometry covers ragged point-group padding
+(B not a multiple of G), per-point E_omega gating including a dc-only
+point (egate column), and stacked a0 (mu swept)."""
+
+import numpy as np
+import pytest
+
+from slb2d_tpu.config import SimConfig
+from slb2d_tpu.parallel.sweep import ParameterSweep
+
+CFG = dict(display=4, E_dc=1.0, E_omega=2.0, omega=10.0, mu=1.0,
+           alpha=0.9495, n_harmonics=8, phi_y_min=-10.0, phi_y_max=10.0,
+           B=0.1, t_start=0.2, g_grid=24, dt=1e-3, quiet=True)
+
+PARAMS = {"E_dc": np.linspace(0.3, 2.0, 6),
+          "E_omega": np.array([2.0, 2.0, 0.0, 1.5, 2.0, 2.0]),
+          "mu": np.array([1.0, 1.2, 1.0, 0.8, 1.0, 1.1])}
+
+OBS = ("v_dr_av", "v_y_av", "m_over_m_x_av", "A", "Asin",
+       "v_dr_inst", "v_y_inst", "m_over_m_x_inst", "norm", "av_count")
+
+
+def run_sweep(impl, g_points=None, **kw):
+    cfg = SimConfig(**CFG, impl=impl)
+    sw = ParameterSweep(cfg, PARAMS)
+    if g_points is not None and sw._use_stack_engine():
+        from slb2d_tpu.ops.sweep_stack import SweepStackRunner
+        sw._stack_runner = SweepStackRunner(sw, g_points=g_points)
+    res = sw.run(**kw)
+    return sw, res
+
+
+def test_stack_engine_matches_xla_sweep():
+    sw_x, ref = run_sweep("xla")
+    sw_s, res = run_sweep("pallas", g_points=4)   # 6 points -> ragged 8
+    assert sw_s._use_stack_engine() and not sw_x._use_stack_engine()
+    for k in OBS:
+        np.testing.assert_allclose(
+            np.asarray(res[k]), np.asarray(ref[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
+    # the dc-only point's averages stay exactly zero (egate)
+    np.testing.assert_array_equal(np.asarray(res["av_count"])[2], 0.0)
+    np.testing.assert_array_equal(np.asarray(res["v_dr_av"])[2], 0.0)
+
+
+def test_stack_engine_checkpoint_resume(tmp_path):
+    """Mid-run checkpoint under the stacked engine, resumed by BOTH
+    engines: the sweep checkpoint format is engine-independent."""
+    _, full = run_sweep("pallas", g_points=4)
+    ck = str(tmp_path / "ck.npz")
+
+    class Stop(Exception):
+        pass
+
+    cfg = SimConfig(**CFG, impl="pallas")
+    sw = ParameterSweep(cfg, PARAMS)
+    orig = ParameterSweep._save_checkpoint
+    calls = []
+
+    def save_once(self, path, states, cap, done):
+        orig(self, path, states, cap, done)
+        calls.append(done)
+        if done < self.n_steps:
+            raise Stop
+
+    ParameterSweep._save_checkpoint = save_once
+    try:
+        with pytest.raises(Stop):
+            sw.run(checkpoint=ck, checkpoint_every=200)
+    finally:
+        ParameterSweep._save_checkpoint = orig
+    assert calls and calls[0] == 200
+
+    for impl in ("pallas", "xla"):
+        cfg2 = SimConfig(**CFG, impl=impl)
+        sw2 = ParameterSweep(cfg2, PARAMS)
+        res = sw2.run(resume=ck)
+        for k in OBS:
+            np.testing.assert_allclose(
+                np.asarray(res[k]), np.asarray(full[k]),
+                rtol=2e-4, atol=2e-5, err_msg=f"{impl}:{k}")
+
+
+def test_stack_engine_capture_state():
+    """frames-dir capture: final (a, b) via the stacked engine equal the
+    XLA engine's rolled loop-exit capture."""
+    sw_x, res_x = run_sweep("xla", capture_state=True)
+    sw_s, res_s = run_sweep("pallas", g_points=4, capture_state=True)
+    ax, bx = sw_x.final_ab
+    as_, bs = sw_s.final_ab
+    np.testing.assert_allclose(as_, ax, rtol=1e-4, atol=5e-6)
+    np.testing.assert_allclose(bs, bx, rtol=1e-4, atol=5e-6)
+
+
+def test_stack_engine_eligibility():
+    cfg = SimConfig(**CFG, impl="pallas")
+    assert ParameterSweep(cfg, PARAMS)._use_stack_engine()
+    # omega swept -> shared-trig requirement fails -> vmapped XLA
+    sw = ParameterSweep(cfg, {"omega": np.array([9.0, 10.0])})
+    assert not sw._use_stack_engine()
+    res = sw.run()                       # falls back and still works
+    assert np.all(np.isfinite(np.asarray(res["norm"])))
+    # f64 -> vmapped XLA
+    cfg64 = SimConfig(**CFG, impl="pallas", dtype="f64")
+    assert not ParameterSweep(cfg64, PARAMS)._use_stack_engine()
+    # impl=xla never
+    assert not ParameterSweep(SimConfig(**CFG, impl="xla"),
+                              PARAMS)._use_stack_engine()
