@@ -178,6 +178,96 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
     jax.lax.fori_loop(n_by * np.int32(unroll), n, do_step, carry)
 
 
+@functools.lru_cache(maxsize=None)
+def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret):
+    """Module-level jitted advance for one stacked-sweep geometry: cached
+    so same-shape refinement grids (slb2d-sweep read-from=stdin) share a
+    compiled executable like the vmapped engine's _run_sweep — the
+    per-grid constants are ARGS, not closures."""
+    D = jnp.float32
+    GR = G * NHP
+    n_groups = Bp // G
+    kernel = functools.partial(_kernel, unroll=unroll, edge_col=edge_col)
+
+    def _blk(rows, lanes):
+        return pl.BlockSpec((rows, lanes), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _shared(shape, space=pltpu.VMEM):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=space)
+
+    def make_call(cap):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_groups,),
+            in_specs=[
+                _shared((4,), pltpu.SMEM),
+                _shared((cap, XS_LANES), pltpu.SMEM),
+                _shared((16,), pltpu.SMEM),
+                _blk(GR, MP), _blk(GR, MP), _blk(GR, MP),
+                _blk(GR, MP), _blk(GR, MP), _blk(GR, MP),
+                _blk(GR, 128), _blk(GR, 128), _shared((8, MP)),
+                _blk(GR, 128), _blk(GR, 128),
+            ],
+            out_specs=[_blk(GR, MP)] * 4 + [_blk(GR, 128)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((Bp * NHP, MP), D)
+                       for _ in range(4)]
+            + [jax.ShapeDtypeStruct((Bp * NHP, 128), D)] * 2,
+            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 12: 4, 13: 5},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(states: stencil.State, consts_dev, psel, xs_table,
+            sparams_arg, meta):
+        # (B, NHP, MP) batched -> (Bp*NHP, MP) stacked, pad by point 0
+        def stack(x):
+            return x[psel].reshape(Bp * NHP, MP)
+
+        a, b = stack(states.a), stack(states.b)
+        ahs, bhs = stack(states.a_hs), stack(states.b_hs)
+        edges = jnp.zeros((Bp * NHP, 128), D)
+        edges = edges.at[:, 0].set(
+            states.hs_edge_a[psel].reshape(Bp * NHP))
+        edges = edges.at[:, 1].set(
+            states.hs_edge_b[psel].reshape(Bp * NHP))
+        # broadcast per-point av to all of its rows: each row then
+        # carries a valid chain for ITS row-sum; rows 0/1 are read out
+        av = jnp.zeros((Bp * NHP, 128), D)
+        av = av.at[:, :AV_COLS].set(
+            jnp.repeat(states.av[psel], NHP, axis=0))
+
+        a0d, agd, ppd, ncold, rowmd = consts_dev
+        outs = make_call(xs_table.shape[0])(
+            meta, xs_table, sparams_arg,
+            a, b, ahs, bhs, a0d, agd, ppd, ncold, rowmd, edges, av)
+        a, b, ahs, bhs, edges_o, av_o = outs
+
+        def unstack(x):
+            return x.reshape(Bp, NHP, MP)[:B]
+
+        r0 = jnp.arange(B) * NHP
+        av_new = jnp.stack([
+            av_o[r0, 0], av_o[r0 + 1, 1], av_o[r0, 2],
+            av_o[r0 + 1, 3], av_o[r0 + 1, 4], av_o[r0 + 1, 5],
+            av_o[r0 + 1, 6], av_o[r0 + 1, 7]], axis=1)
+        n = meta[0]
+        t_next = xs_table[n - 1, 7] + D(dt)
+        return stencil.State(
+            a=unstack(a), b=unstack(b), a_hs=unstack(ahs),
+            b_hs=unstack(bhs),
+            hs_edge_a=edges_o[:, 0].reshape(Bp, NHP)[:B],
+            hs_edge_b=edges_o[:, 1].reshape(Bp, NHP)[:B],
+            av=av_new,
+            t=jnp.broadcast_to(t_next, (B,)),
+            step=states.step + n)
+
+    return run
+
+
 class SweepStackRunner:
     """advance(states, n_steps) for a ParameterSweep batch: states keep
     the canonical (B, NHP, MP) layout (checkpoint/capture compatible);
@@ -243,95 +333,17 @@ class SweepStackRunner:
             sparams[j] = D(v)
         self.t_end = float(t_end)
 
-        kernel = functools.partial(
-            _kernel,
-            unroll=(unroll or (8 if GR * MP >= 64 * 1024 else 1)),
-            edge_col=base.M + 1)
-
-        def _blk(rows, lanes):
-            return pl.BlockSpec((rows, lanes), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-
-        def _shared(shape, space=pltpu.VMEM):
-            nd = len(shape)
-            return pl.BlockSpec(shape, lambda i: (0,) * nd,
-                                memory_space=space)
-
-        def make_call(cap):
-            return pl.pallas_call(
-                kernel,
-                grid=(n_groups,),
-                in_specs=[
-                    _shared((4,), pltpu.SMEM),
-                    _shared((cap, XS_LANES), pltpu.SMEM),
-                    _shared((16,), pltpu.SMEM),
-                    _blk(GR, MP), _blk(GR, MP), _blk(GR, MP),
-                    _blk(GR, MP), _blk(GR, MP), _blk(GR, MP),
-                    _blk(GR, 128), _blk(GR, 128), _shared((8, MP)),
-                    _blk(GR, 128), _blk(GR, 128),
-                ],
-                out_specs=[_blk(GR, MP)] * 4 + [_blk(GR, 128)] * 2,
-                out_shape=[jax.ShapeDtypeStruct((Bp * NHP, MP), D)
-                           for _ in range(4)]
-                + [jax.ShapeDtypeStruct((Bp * NHP, 128), D)] * 2,
-                input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3,
-                                      12: 4, 13: 5},
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
-                interpret=interpret,
-            )
-
-        consts_dev = tuple(jnp.asarray(x)
-                           for x in (a0, ag, pp, ncol, rowm))
-        psel = jnp.asarray(pad_sel)
-
-        @functools.partial(jax.jit, donate_argnums=0)
-        def run(states: stencil.State, xs_table, sparams_arg, meta):
-            # (B, NHP, MP) batched -> (Bp*NHP, MP) stacked, pad by point 0
-            def stack(x):
-                return x[psel].reshape(Bp * NHP, MP)
-
-            a, b = stack(states.a), stack(states.b)
-            ahs, bhs = stack(states.a_hs), stack(states.b_hs)
-            edges = jnp.zeros((Bp * NHP, 128), D)
-            edges = edges.at[:, 0].set(
-                states.hs_edge_a[psel].reshape(Bp * NHP))
-            edges = edges.at[:, 1].set(
-                states.hs_edge_b[psel].reshape(Bp * NHP))
-            # broadcast per-point av to all of its rows: each row then
-            # carries a valid chain for ITS row-sum; rows 0/1 are read out
-            av = jnp.zeros((Bp * NHP, 128), D)
-            av = av.at[:, :AV_COLS].set(
-                jnp.repeat(states.av[psel], NHP, axis=0))
-
-            a0d, agd, ppd, ncold, rowmd = consts_dev
-            outs = make_call(xs_table.shape[0])(
-                meta, xs_table, sparams_arg,
-                a, b, ahs, bhs, a0d, agd, ppd, ncold, rowmd, edges, av)
-            a, b, ahs, bhs, edges_o, av_o = outs
-
-            def unstack(x):
-                return x.reshape(Bp, NHP, MP)[:self.B]
-
-            r0 = jnp.arange(self.B) * NHP
-            av_new = jnp.stack([
-                av_o[r0, 0], av_o[r0 + 1, 1], av_o[r0, 2],
-                av_o[r0 + 1, 3], av_o[r0 + 1, 4], av_o[r0 + 1, 5],
-                av_o[r0 + 1, 6], av_o[r0 + 1, 7]], axis=1)
-            n = meta[0]
-            t_next = xs_table[n - 1, 7] + D(self.base.dt)
-            return stencil.State(
-                a=unstack(a), b=unstack(b), a_hs=unstack(ahs),
-                b_hs=unstack(bhs),
-                hs_edge_a=edges_o[:, 0].reshape(Bp, NHP)[:self.B],
-                hs_edge_b=edges_o[:, 1].reshape(Bp, NHP)[:self.B],
-                av=av_new,
-                t=jnp.broadcast_to(t_next, (self.B,)),
-                step=states.step + n)
-
-        self._jit_run = run
+        self._consts_dev = tuple(jnp.asarray(x)
+                                 for x in (a0, ag, pp, ncol, rowm))
+        self._psel = jnp.asarray(pad_sel)
+        self._geom = (B, Bp, G, NHP, MP,
+                      unroll or (8 if GR * MP >= 64 * 1024 else 1),
+                      base.M + 1, float(base.dt), interpret)
+        self._jit_run = _stack_run(*self._geom)
         self.sparams = sparams
-        self._cap = 0
+        # prime the xs capacity at the full 512-step launch so every
+        # chunk (and every same-shape refinement grid) shares ONE compile
+        self._cap = capacity_rows(512)
         self.step0 = 0
         self.t0 = 0.0
 
@@ -372,7 +384,8 @@ class SweepStackRunner:
                     [xs, np.zeros((self._cap - k, XS_LANES), D)])
             meta = jnp.asarray(np.array([k, self.step0 % 2, 0, 0],
                                         np.int32))
-            states = self._jit_run(states, jnp.asarray(xs),
+            states = self._jit_run(states, self._consts_dev, self._psel,
+                                   jnp.asarray(xs),
                                    jnp.asarray(self.sparams), meta)
             self.step0 += k
             self.t0 = float(D(t_last + D(self.base.dt)))

@@ -96,6 +96,30 @@ def test_stack_engine_capture_state():
     np.testing.assert_allclose(bs, bx, rtol=1e-4, atol=5e-6)
 
 
+def test_stack_engine_compile_shared_across_grids():
+    """Two same-shape grids (different values) share one jitted advance
+    (the interactive-refinement warm path): _stack_run is lru_cached on
+    geometry and constants are args, not closures."""
+    from slb2d_tpu.ops.sweep_stack import SweepStackRunner
+
+    cfg = SimConfig(**CFG, impl="pallas")
+    r1 = SweepStackRunner(ParameterSweep(
+        cfg, {"E_dc": np.linspace(0.1, 1.0, 6)}), g_points=4)
+    r2 = SweepStackRunner(ParameterSweep(
+        cfg, {"E_dc": np.linspace(1.5, 2.5, 6)}), g_points=4)
+    assert r1._jit_run is r2._jit_run
+    if hasattr(r1._jit_run, "_cache_size"):
+        before = r1._jit_run._cache_size()
+        sw = ParameterSweep(cfg, {"E_dc": np.linspace(0.1, 1.0, 6)})
+        sw._stack_runner = r1
+        sw.run()
+        mid = r1._jit_run._cache_size()
+        sw2 = ParameterSweep(cfg, {"E_dc": np.linspace(1.5, 2.5, 6)})
+        sw2._stack_runner = r2
+        sw2.run()
+        assert r2._jit_run._cache_size() == mid   # no new executable
+
+
 def test_stack_engine_eligibility():
     cfg = SimConfig(**CFG, impl="pallas")
     assert ParameterSweep(cfg, PARAMS)._use_stack_engine()
