@@ -265,12 +265,16 @@ class Simulation:
             E_omega=model.E_omega, display=cfg.display,
             frame_start=cfg.frame_start, T=model.T,
             dtype=model.np_dtype,
-            # megakernel: the per-step xs table lives in SMEM (1 MB with
-            # ~16x window padding) — cap chunks at 512 steps there; the
-            # stream engine's tables are per-launch (K, 10) SMEM slices
-            # of a regular HBM array, so full chunks are fine
-            chunk_max=cfg.steps_per_chunk or
-            (512 if self._engine == "mega" else 4096),
+            # megakernel: the per-step xs table lives in SMEM — chunks
+            # are capped at 512 steps there even when the user sets
+            # steps-per-chunk higher (larger SMEM tables fail the Mosaic
+            # compile, measured on v5e); the stream engine's tables are
+            # per-launch (K, 10) SMEM slices of a regular HBM array, so
+            # full chunks are fine
+            chunk_max=(min(cfg.steps_per_chunk, 512)
+                       if self._engine == "mega" and cfg.steps_per_chunk
+                       else cfg.steps_per_chunk or
+                       (512 if self._engine == "mega" else 4096)),
             frame_time0=self.frame_time,
             last_tT_reminder0=self.last_rem,
             break_on_e77=not self._batched_emission())

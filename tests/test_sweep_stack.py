@@ -47,6 +47,23 @@ def test_stack_engine_matches_xla_sweep():
     np.testing.assert_array_equal(np.asarray(res["v_dr_av"])[2], 0.0)
 
 
+import jax
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU invariant (tests force the CPU "
+                           "backend; set SLB2D_TPU_TESTS=1 to enable)")
+def test_stack_engine_matches_xla_on_tpu():
+    """Compiled Mosaic lowering of the stacked sweep kernel vs the
+    vmapped XLA sweep on the real chip (production group geometry)."""
+    sw_x, ref = run_sweep("xla")
+    sw_s, res = run_sweep("pallas")            # auto group size
+    for k in OBS:
+        np.testing.assert_allclose(
+            np.asarray(res[k]), np.asarray(ref[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
+
+
 def test_stack_engine_checkpoint_resume(tmp_path):
     """Mid-run checkpoint under the stacked engine, resumed by BOTH
     engines: the sweep checkpoint format is engine-independent."""
