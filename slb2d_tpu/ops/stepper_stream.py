@@ -67,8 +67,10 @@ def default_k_steps() -> int:
 def default_tile_w(NHP: int) -> int:
     """Center tile width: as wide as a comfortable VMEM working set
     allows (working arrays + ~15 elementwise temporaries of (NHP, W+2H)
-    floats), multiple of the 128-lane tile."""
-    budget_cols = max(256, (400_000 // max(NHP, 1)) - 2 * H)
+    floats — ~700k elements ≈ 53 MB against the 100 MB budget), multiple
+    of the 128-lane tile.  Wider tiles matter for tall-thin grids (large
+    n-harmonics): the halo overhead is (W+2H)/W."""
+    budget_cols = max(256, (700_000 // max(NHP, 1)) - 2 * H)
     return int(min(2048, (budget_cols // 128) * 128))
 
 
