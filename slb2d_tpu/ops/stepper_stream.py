@@ -67,10 +67,11 @@ def default_k_steps() -> int:
 def default_tile_w(NHP: int) -> int:
     """Center tile width: as wide as a comfortable VMEM working set
     allows (working arrays + ~15 elementwise temporaries of (NHP, W+2H)
-    floats — ~700k elements ≈ 53 MB against the 100 MB budget), multiple
-    of the 128-lane tile.  Wider tiles matter for tall-thin grids (large
-    n-harmonics): the halo overhead is (W+2H)/W."""
-    budget_cols = max(256, (700_000 // max(NHP, 1)) - 2 * H)
+    floats), multiple of the 128-lane tile.  Wider tiles matter for
+    tall-thin grids (large n-harmonics): the halo overhead is (W+2H)/W.
+    620k elements MEASURED against Mosaic's scoped stack: 700k put an
+    NHP=408, W=1408 kernel 876 KB over the 100 MB limit on v5e."""
+    budget_cols = max(256, (620_000 // max(NHP, 1)) - 2 * H)
     return int(min(2048, (budget_cols // 128) * 128))
 
 
