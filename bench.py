@@ -126,13 +126,17 @@ def bench_sweep_stack(B=64, N=40, M=500, K=6144):
     runner = SweepStackRunner(sw)
     states = sw._initial_states()
     states = runner.advance(states, 512)          # compile + warm
-    np.asarray(states.t)
+    np.asarray(states.av)
     time.sleep(5)
     t0 = time.perf_counter()
     states = runner.advance(states, K)
-    a_host = np.asarray(states.a)
+    # barrier: av is a tiny (B, 8) fetch that CHAINS through every
+    # launch's kernel output (states.t is schedule-derived and would not
+    # synchronize; fetching the full state would bill a multi-MB tunnel
+    # transfer to the kernel)
+    np.asarray(states.av)
     wall = time.perf_counter() - t0
-    assert np.all(np.isfinite(a_host))
+    assert np.all(np.isfinite(np.asarray(states.a)))   # outside the wall
     agg = 2 * (N + 1) * (M + 1) * K * B
     return agg / wall, wall, K
 

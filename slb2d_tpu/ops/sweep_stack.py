@@ -179,14 +179,22 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret):
+def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret,
+               mesh=None, axis="sweep"):
     """Module-level jitted advance for one stacked-sweep geometry: cached
     so same-shape refinement grids (slb2d-sweep read-from=stdin) share a
     compiled executable like the vmapped engine's _run_sweep — the
-    per-grid constants are ARGS, not closures."""
+    per-grid constants are ARGS, not closures.
+
+    mesh: shard the point batch over the `axis` mesh axis (BASELINE #5's
+    "sweep sharded across a v5e-8 mesh", on the fast engine): the
+    row-stacked arrays shard along axis 0 at point boundaries (Bp is a
+    multiple of shards*G), each device walks its own VMEM-resident point
+    groups — embarrassingly parallel, zero collectives in the hot loop."""
     D = jnp.float32
     GR = G * NHP
-    n_groups = Bp // G
+    S = mesh.shape[axis] if mesh is not None else 1
+    n_groups = Bp // G // S                   # per-device pallas grid
     kernel = functools.partial(_kernel, unroll=unroll, edge_col=edge_col)
 
     def _blk(rows, lanes):
@@ -197,8 +205,10 @@ def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=space)
 
+    rows_loc = Bp * NHP // S                  # per-device stacked rows
+
     def make_call(cap):
-        return pl.pallas_call(
+        call = pl.pallas_call(
             kernel,
             grid=(n_groups,),
             in_specs=[
@@ -211,14 +221,23 @@ def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret):
                 _blk(GR, 128), _blk(GR, 128),
             ],
             out_specs=[_blk(GR, MP)] * 4 + [_blk(GR, 128)] * 2,
-            out_shape=[jax.ShapeDtypeStruct((Bp * NHP, MP), D)
+            out_shape=[jax.ShapeDtypeStruct((rows_loc, MP), D)
                        for _ in range(4)]
-            + [jax.ShapeDtypeStruct((Bp * NHP, 128), D)] * 2,
+            + [jax.ShapeDtypeStruct((rows_loc, 128), D)] * 2,
             input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 12: 4, 13: 5},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )
+        if mesh is None:
+            return call
+        from jax.sharding import PartitionSpec as P
+        rs = P(axis, None)                    # row-sharded at point bounds
+        return jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(P(), P(), P(), rs, rs, rs, rs, rs, rs,
+                      rs, rs, P(), rs, rs),
+            out_specs=(rs, rs, rs, rs, rs, rs), check_vma=False)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def run(states: stencil.State, consts_dev, psel, xs_table,
@@ -276,7 +295,8 @@ class SweepStackRunner:
     executable serves every chunk length (SMEM meta + padded xs capacity,
     the stepper_pallas design)."""
 
-    def __init__(self, sweep, interpret=None, unroll=None, g_points=None):
+    def __init__(self, sweep, interpret=None, unroll=None, g_points=None,
+                 mesh=None, axis="sweep"):
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         base = sweep.base
@@ -288,9 +308,12 @@ class SweepStackRunner:
                              "(per-point trig tables are not stacked)")
         self.sweep = sweep
         self.base = base
+        self.mesh, self.axis = mesh, axis
+        S = mesh.shape[axis] if mesh is not None else 1
         B, NHP, MP = sweep.B, base.NHP, base.MP
-        G = g_points or min(B, default_group_points(NHP, MP))
-        Bp = -(-B // G) * G
+        G = g_points or min(max(1, B // S),
+                            default_group_points(NHP, MP))
+        Bp = -(-B // (S * G)) * (S * G)    # pad to shards x groups
         self.B, self.Bp, self.G, self.NHP, self.MP = B, Bp, G, NHP, MP
         GR = G * NHP
         n_groups = Bp // G
@@ -333,12 +356,25 @@ class SweepStackRunner:
             sparams[j] = D(v)
         self.t_end = float(t_end)
 
-        self._consts_dev = tuple(jnp.asarray(x)
-                                 for x in (a0, ag, pp, ncol, rowm))
-        self._psel = jnp.asarray(pad_sel)
+        if mesh is None:
+            self._consts_dev = tuple(jnp.asarray(x)
+                                     for x in (a0, ag, pp, ncol, rowm))
+            self._psel = jnp.asarray(pad_sel)
+        else:
+            # host numpy -> global sharded arrays (multi-host safe, the
+            # parallel/sweep.py convention): row-stacked consts shard
+            # along axis 0 at point-group boundaries
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rshard = NamedSharding(mesh, P(axis))
+            repl = NamedSharding(mesh, P())
+            self._consts_dev = tuple(
+                jax.device_put(x, s) for x, s in
+                ((a0, rshard), (ag, rshard), (pp, rshard),
+                 (ncol, rshard), (rowm, repl)))
+            self._psel = jax.device_put(pad_sel, repl)
         self._geom = (B, Bp, G, NHP, MP,
                       unroll or (8 if GR * MP >= 64 * 1024 else 1),
-                      base.M + 1, float(base.dt), interpret)
+                      base.M + 1, float(base.dt), interpret, mesh, axis)
         self._jit_run = _stack_run(*self._geom)
         self.sparams = sparams
         # prime the xs capacity at the full 512-step launch so every

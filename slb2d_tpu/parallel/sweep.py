@@ -307,9 +307,22 @@ class ParameterSweep:
             # varies).
             from ..ops.sweep_stack import SweepStackRunner
             if self._stack_runner is None:
-                self._stack_runner = SweepStackRunner(self)
+                self._stack_runner = SweepStackRunner(
+                    self, mesh=self.mesh, axis=self.axis)
             runner = self._stack_runner
             runner.seek(done)            # resume-aware t/step trackers
+            if self.mesh is not None:
+                # states (and resumed states) arrive host/committed —
+                # scatter them over the sweep axis (multi-host safe);
+                # replicate when B doesn't divide (the kernel's Bp
+                # padding handles raggedness inside the jit)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                S = self.mesh.shape[self.axis]
+                spec = P(self.axis) if self.B % S == 0 else P()
+                shard = NamedSharding(self.mesh, spec)
+                states = jax.tree.map(
+                    lambda x: jax.device_put(np.asarray(x), shard),
+                    states)
             capj = self._capture_fn(weights, capture_state)
 
             def advance(st, cp, k):
@@ -358,13 +371,14 @@ class ParameterSweep:
         return self._finalize(states, cap)
 
     def _use_stack_engine(self) -> bool:
-        """Eligibility for the stacked sweep megakernel: no mesh (single
-        device), float32, shared omega (one trig table / exit step).
+        """Eligibility for the stacked sweep megakernel: float32, shared
+        omega (one trig table / exit step), no SPACE sharding (a pure
+        "sweep" mesh is fine — points shard at stacked-row boundaries).
         impl=pallas|stream forces it (interpret mode off-TPU, for tests);
         impl=auto takes it on TPU; impl=xla never."""
-        if self.mesh is not None or self.base.np_dtype != np.float32:
+        if self.space_axis is not None:
             return False
-        if "omega" in self.params:
+        if self.base.np_dtype != np.float32 or "omega" in self.params:
             return False
         impl = self.cfg.impl
         if impl == "xla":

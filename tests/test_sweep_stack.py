@@ -137,6 +137,32 @@ def test_stack_engine_compile_shared_across_grids():
         assert r2._jit_run._cache_size() == mid   # no new executable
 
 
+def test_stack_engine_on_sweep_mesh():
+    """The stacked engine sharded over a pure "sweep" mesh (BASELINE #5
+    on the fast engine): row-stacked arrays shard at point boundaries,
+    each device walks its own VMEM-resident groups.  Results must match
+    the meshless stacked run and the vmapped mesh run."""
+    from slb2d_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2,), ("sweep",))
+    cfg = SimConfig(**CFG, impl="pallas")
+    sw = ParameterSweep(cfg, PARAMS, mesh=mesh)
+    assert sw._use_stack_engine()
+    res = sw.run()
+    assert sw._stack_runner.mesh is mesh
+    assert sw._stack_runner.Bp % (2 * sw._stack_runner.G) == 0
+
+    _, ref = run_sweep("pallas", g_points=4)          # meshless stacked
+    sw_x = ParameterSweep(SimConfig(**CFG, impl="xla"), PARAMS, mesh=mesh)
+    ref_x = sw_x.run()                                # vmapped on mesh
+    for k in OBS:
+        np.testing.assert_allclose(np.asarray(res[k]), np.asarray(ref[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+        np.testing.assert_allclose(np.asarray(res[k]),
+                                   np.asarray(ref_x[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
 def test_stack_engine_eligibility():
     cfg = SimConfig(**CFG, impl="pallas")
     assert ParameterSweep(cfg, PARAMS)._use_stack_engine()
