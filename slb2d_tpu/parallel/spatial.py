@@ -79,11 +79,19 @@ def spatial_specs(mesh, axis: str = "space"):
 
 
 def shard_state(state: stencil.State, mesh, axis: str = "space"):
-    """Lay a State out over the mesh per spatial_specs (m-axis sharded)."""
+    """Lay a State out over the mesh per spatial_specs (m-axis sharded).
+
+    Goes through host numpy: every process holds the full value, so
+    device_put scatters the addressable shards — required on multi-host
+    (DCN) meshes where a single-device jax array could not be re-sharded
+    globally (the ParameterSweep convention, parallel/sweep.py)."""
+    import numpy as _np
+
     from jax.sharding import NamedSharding
     _, state_spec = spatial_specs(mesh, axis)
     return jax.tree.map(
-        lambda x, p: jax.device_put(jnp.asarray(x), NamedSharding(mesh, p)),
+        lambda x, p: jax.device_put(_np.asarray(x),
+                                    NamedSharding(mesh, p)),
         state, state_spec,
         is_leaf=lambda x: not isinstance(x, stencil.State))
 

@@ -34,8 +34,22 @@ class NumericalInstability(RuntimeError):
 class Simulation:
     def __init__(self, cfg: SimConfig, out=None):
         self.cfg = cfg
-        self.out = out if out is not None else cfgmod.open_out(cfg)
-        self.quiet = cfg.quiet
+        # multi-host (DCN) spatial runs: every process executes the same
+        # driver code (schedules and collectives must stay in lockstep);
+        # process 0 owns every file/stream write, the rest write to
+        # devnull and keep quiet.  State fetches allgather (_fetch_np)
+        # and IO jobs run inline (the worker thread would reorder
+        # collectives against the main thread).
+        self._p0 = jax.process_index() == 0
+        self._nprocs = jax.process_count()
+        if out is not None:
+            self.out = out
+        elif self._p0:
+            self.out = cfgmod.open_out(cfg)
+        else:
+            import os
+            self.out = open(os.devnull, "w")
+        self.quiet = cfg.quiet or not self._p0
         self._build_model()
         self.recon = None
         self.frame_number = 1
@@ -216,9 +230,11 @@ class Simulation:
                 recon, F, norm = self._frame_and_norm()
                 if not self.quiet:
                     print("\nWriting frame frame.data")
-                with open("frame.data", "w") as fh:
-                    writers.write_frame(fh, self.model, recon, None, None,
-                                        self._loop_t(), F=F, norm=norm)
+                if self._p0:
+                    with open("frame.data", "w") as fh:
+                        writers.write_frame(fh, self.model, recon, None,
+                                            None, self._loop_t(), F=F,
+                                            norm=norm)
                 break
             if cfg.display == 4:
                 av, a2, b2 = self._round_obs
@@ -228,7 +244,7 @@ class Simulation:
 
             if repl_stream is None:
                 break
-            mut = cfgmod.scan_for_new_parameters(repl_stream)
+            mut = self._scan_params(repl_stream)
             if mut is None:
                 break
             self._apply_mutation(*mut)
@@ -245,9 +261,14 @@ class Simulation:
                       f"({sites / wall:.3e} site-updates/s) [impl={engine}]")
         self._drain_io()
         if cfg.checkpoint:
-            save_state(cfg.checkpoint, self.state, model=self.model,
-                       t0=self.t_exit, frame_time=self.frame_time,
-                       frame_number=self.frame_number)
+            # multi-process: materialize the global state on every host
+            # (collective), then process 0 writes the file
+            host_state = (jax.tree.map(self._fetch_np, self.state)
+                          if self._nprocs > 1 else self.state)
+            if self._p0:
+                save_state(cfg.checkpoint, host_state, model=self.model,
+                           t0=self.t_exit, frame_time=self.frame_time,
+                           frame_number=self.frame_number)
         if self.out not in (sys.stdout, sys.stderr):
             self.out.close()
         return self.state
@@ -255,6 +276,16 @@ class Simulation:
     def _loop_t(self):
         """The C driver's post-loop `t` (first value failing t < t_max)."""
         return self.t_exit
+
+    def _fetch_np(self, x):
+        """Device value -> host numpy; on multi-process meshes a sharded
+        array is not addressable from one process, so allgather it (the
+        ParameterSweep._fetch convention)."""
+        if self._nprocs > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
 
     def _schedule_kwargs(self):
         cfg = self.cfg
@@ -382,11 +413,11 @@ class Simulation:
         st = self.state
         if self.cfg.display == 4:
             MP = self.model.MP
-            packed = np.asarray(jnp.concatenate(
+            packed = self._fetch_np(jnp.concatenate(
                 [st.av, st.a[:2].ravel(), st.b[:2].ravel()]))
             return (packed[:8], packed[8:8 + 2 * MP].reshape(2, MP),
                     packed[8 + 2 * MP:].reshape(2, MP))
-        packed = np.asarray(jnp.concatenate([st.av, st.a[0, :8]]))
+        packed = self._fetch_np(jnp.concatenate([st.av, st.a[0, :8]]))
         return packed[:8], packed[8:16].reshape(1, 8), None
 
     def _handle_event(self, chunk, prev_rows=None):
@@ -430,6 +461,11 @@ class Simulation:
     _io_futures: list = []
 
     def _io_pool_submit(self, fn):
+        if self._nprocs > 1:
+            # multi-process: fetches inside IO jobs may be collectives —
+            # run inline so every process executes them in program order
+            fn()
+            return
         if self._io_pool is None:
             self._io_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1)
@@ -499,8 +535,11 @@ class Simulation:
               else None)
 
         def write(batch=batch, Fs=Fs, ns=ns):
-            Fh = np.asarray(Fs)               # ONE transfer for k frames
-            nh = np.asarray(ns) if ns is not None else [None] * len(batch)
+            Fh = self._fetch_np(Fs)           # ONE transfer for k frames
+            nh = (self._fetch_np(ns) if ns is not None
+                  else [None] * len(batch))
+            if not self._p0:                  # fetch joined; files are
+                return                        # process 0's job
             for i, (fname, _, _, finish, t, kind) in enumerate(batch):
                 with open(fname, "w") as fh:
                     if kind == "strobe":
@@ -534,7 +573,7 @@ class Simulation:
         return F, None, (lambda s, _n=norm: _n)
 
     def _host_ab(self):
-        return np.asarray(self.state.a), np.asarray(self.state.b)
+        return (self._fetch_np(self.state.a), self._fetch_np(self.state.b))
 
     def _frame_and_norm(self, fetch=True):
         """Reconstruct the current frame (m=1..M+1) and norm (see
@@ -545,9 +584,9 @@ class Simulation:
         F, ns, finish = self._frame_parts()
 
         def norm_value():
-            return finish(np.asarray(ns) if ns is not None else None)
+            return finish(self._fetch_np(ns) if ns is not None else None)
         if fetch:
-            return recon, np.asarray(F), norm_value()
+            return recon, self._fetch_np(F), norm_value()
         return recon, F, norm_value
 
     def _check_finite(self, av, a_rows):
@@ -558,6 +597,32 @@ class Simulation:
                 "(reference guidance, src/boltzmann_c_solver.c:56-57)")
 
     # -- parameter server ------------------------------------------------------
+
+    def _scan_params(self, stream):
+        """One parameter-server read; on multi-process meshes process 0
+        reads the stream and broadcasts the mutation so every process
+        applies the identical change in lockstep."""
+        if self._nprocs == 1:
+            return cfgmod.scan_for_new_parameters(stream)
+        from jax.experimental import multihost_utils
+        if self._p0:
+            mut = cfgmod.scan_for_new_parameters(stream)
+            if mut is None:
+                payload = np.array([-1.0, 0.0, 0.0], np.float64)
+            else:
+                name, value, timeout = mut
+                idx = (cfgmod.REPL_MUTABLE.index(name)
+                       if name is not None else -2)
+                payload = np.array([idx, value, timeout], np.float64)
+        else:
+            payload = np.zeros(3, np.float64)
+        payload = np.asarray(
+            multihost_utils.broadcast_one_to_all(payload))
+        idx = int(payload[0])
+        if idx == -1:
+            return None
+        name = cfgmod.REPL_MUTABLE[idx] if idx >= 0 else None
+        return name, float(payload[1]), float(payload[2])
 
     def _apply_mutation(self, name, value, timeout):
         """One live parameter change: t_start moves to t+timeout, t_max =
