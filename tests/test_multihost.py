@@ -37,6 +37,16 @@ cfg = SimConfig(display=4, E_dc=1.0, E_omega=2.0, omega=10.0, mu=1.0,
 mesh = make_mesh((8,), ("sweep",))     # spans both processes
 res = ParameterSweep(cfg, {"E_dc": np.linspace(0.25, 2.0, 8)},
                      mesh=mesh).run()
+# the stacked sweep megakernel over the same multi-process mesh
+# (interpret mode on CPU): row-stacked consts scatter across processes
+sw2 = ParameterSweep(cfg.replace(impl="pallas"),
+                     {"E_dc": np.linspace(0.25, 2.0, 8)}, mesh=mesh)
+assert sw2._use_stack_engine()
+res2 = sw2.run()
+for k in res:
+    import numpy as _np
+    _np.testing.assert_allclose(_np.asarray(res2[k]), _np.asarray(res[k]),
+                                rtol=2e-4, atol=2e-5, err_msg=k)
 # every process has the full allgathered table; each writes its own copy
 with open(outfile + f".{proc_id}", "w") as fh:
     json.dump({k: np.asarray(v, np.float64).tolist()
