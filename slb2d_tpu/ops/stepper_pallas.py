@@ -46,6 +46,24 @@ def capacity_rows(n_steps: int) -> int:
     return -(-n_steps // XS_CAP_QUANTUM) * XS_CAP_QUANTUM
 
 
+def pack_xs_dict(xs_dict, dtype):
+    """(n, XS_LANES) xs table from runtime/schedule.iter_chunks columns.
+    Fills lanes 0-7 (trig, do_av, t); the emission lanes 8-9 stay zero.
+    The lane order is a cross-engine contract (megakernel, stream,
+    sweep-stack all consume it) — change it here and nowhere else."""
+    n = len(xs_dict["t"])
+    xs = np.zeros((n, XS_LANES), dtype)
+    xs[:, 0] = xs_dict["cos_t"]
+    xs[:, 1] = xs_dict["cos_t_dt"]
+    xs[:, 2] = xs_dict["cos_hs"]
+    xs[:, 3] = xs_dict["cos_hs_dt"]
+    xs[:, 4] = xs_dict["cos_av"]
+    xs[:, 5] = xs_dict["sin_av"]
+    xs[:, 6] = xs_dict["do_av"].astype(dtype)
+    xs[:, 7] = xs_dict["t"]
+    return xs
+
+
 def fits_vmem(NHP: int, MP: int) -> bool:
     """Whether the megakernel's working set fits its VMEM budget.
     MEASURED on v5e: Mosaic's scoped stack for this kernel is ~22.7 full
@@ -392,15 +410,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             indices at which a display-77 emission record is written to
             the in-kernel table (fetch via take_obs)."""
             n = len(xs_dict["t"])
-            xs = np.zeros((n, XS_LANES), D)
-            xs[:, 0] = xs_dict["cos_t"]
-            xs[:, 1] = xs_dict["cos_t_dt"]
-            xs[:, 2] = xs_dict["cos_hs"]
-            xs[:, 3] = xs_dict["cos_hs_dt"]
-            xs[:, 4] = xs_dict["cos_av"]
-            xs[:, 5] = xs_dict["sin_av"]
-            xs[:, 6] = xs_dict["do_av"].astype(D)
-            xs[:, 7] = xs_dict["t"]
+            xs = pack_xs_dict(xs_dict, D)
             if len(emit_idx):
                 idx = np.asarray(emit_idx, np.int64)
                 xs[idx, 8] = 1

@@ -50,7 +50,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import stencil
-from .stepper_pallas import SCALAR_FIELDS, XS_LANES, _pl_shift
+from .stepper_pallas import (SCALAR_FIELDS, XS_LANES, _pl_shift,
+                             pack_xs_dict)
 
 H = 128                    # halo block width (one lane tile)
 SUM_LANES = 8              # per-step sums: norm, v_dr, v_y, m_x (+pad)
@@ -64,14 +65,20 @@ def default_k_steps() -> int:
     return 64
 
 
+# Extended-tile element budget NHP*(W+2H), MEASURED against Mosaic's
+# scoped stack: 700k put an NHP=408, W=1408 kernel 876 KB over the
+# 100 MB limit on v5e; 620k compiles.  Applies to ANY launch of this
+# kernel — the sharded runner (one (W_ext)-wide tile per shard) checks
+# the same number.
+TILE_ELEM_BUDGET = 620_000
+
+
 def default_tile_w(NHP: int) -> int:
     """Center tile width: as wide as a comfortable VMEM working set
     allows (working arrays + ~15 elementwise temporaries of (NHP, W+2H)
     floats), multiple of the 128-lane tile.  Wider tiles matter for
-    tall-thin grids (large n-harmonics): the halo overhead is (W+2H)/W.
-    620k elements MEASURED against Mosaic's scoped stack: 700k put an
-    NHP=408, W=1408 kernel 876 KB over the 100 MB limit on v5e."""
-    budget_cols = max(256, (620_000 // max(NHP, 1)) - 2 * H)
+    tall-thin grids (large n-harmonics): the halo overhead is (W+2H)/W."""
+    budget_cols = max(256, (TILE_ELEM_BUDGET // max(NHP, 1)) - 2 * H)
     return int(min(2048, (budget_cols // 128) * 128))
 
 
@@ -415,6 +422,29 @@ def make_stream_runner(c: stencil.StencilConsts, model, av_enabled=True,
     return r
 
 
+def validate_sharded_geometry(NHP: int, MP: int, S: int) -> None:
+    """Reject sharded-stream geometries that cannot run: non-H-multiple
+    per-shard slices, and per-shard VMEM working sets over the measured
+    budget.  The sharded launch is the single-device kernel with ONE
+    (W_ext = MP/S + 2H)-wide tile, so the measured extended-tile budget
+    (TILE_ELEM_BUDGET vs Mosaic's 100 MB scoped stack) applies verbatim
+    — beyond it the compile fails, so fail fast with guidance instead.
+    Called eagerly by the driver's _select_impl and again by
+    make_sharded_stream_runner."""
+    if MP % S or (MP // S) % H:
+        raise ValueError(
+            f"sharded stream needs MP={MP} divisible into {H}-column "
+            f"multiples across {S} shards; pick g-grid/shards so that "
+            f"(M+3 padded to 128) / shards is a multiple of {H}")
+    W_ext = MP // S + 2 * H
+    if NHP * (W_ext + 2 * H) > TILE_ELEM_BUDGET:
+        raise ValueError(
+            f"per-shard extended slice {NHP}x{W_ext} exceeds the "
+            f"measured VMEM working-set budget "
+            f"({NHP * (W_ext + 2 * H)} > {TILE_ELEM_BUDGET} elements); "
+            f"raise shards=")
+
+
 def make_sharded_stream_runner(c: stencil.StencilConsts, model, mesh,
                                axis: str = "space", av_enabled=True,
                                exact_trig=False, interpret=None, K=None,
@@ -442,11 +472,7 @@ def make_sharded_stream_runner(c: stencil.StencilConsts, model, mesh,
         raise ValueError("pallas steppers are float32-only (TPU native)")
     NHP, MP = model.NHP, model.MP
     S = mesh.shape[axis]
-    if MP % S or (MP // S) % H:
-        raise ValueError(
-            f"sharded stream needs MP={MP} divisible into {H}-column "
-            f"multiples across {S} shards; pick g-grid/shards so that "
-            f"(M+3 padded to 128) / shards is a multiple of {H}")
+    validate_sharded_geometry(NHP, MP, S)
     MP_loc = MP // S
     W_ext = MP_loc + 2 * H
     if K is None:
@@ -455,12 +481,6 @@ def make_sharded_stream_runner(c: stencil.StencilConsts, model, mesh,
         unroll = 8 if NHP * (W_ext + 2 * H) >= (64 * 1024) else 1
     if 2 * K > H:
         raise ValueError(f"K={K} violates the halo bound 2K <= H={H}")
-    # per-shard VMEM working set: 4 state + ~15 temporaries of
-    # (NHP, W_ext + 2H) f32 — bound it like the megakernel's fits_vmem
-    if NHP * (W_ext + 2 * H) > 2_600_000:
-        raise ValueError(
-            f"per-shard extended slice {NHP}x{W_ext} exceeds the VMEM "
-            f"working-set budget; raise shards=")
 
     launch_call = _build_launch_call(NHP, W_ext, K, W_ext, unroll,
                                      interpret)
@@ -476,11 +496,11 @@ def make_sharded_stream_runner(c: stencil.StencilConsts, model, mesh,
         rows = glob2d.shape[0]
         out = np.zeros((rows, S * W_ext), D)
         for s in range(S):
-            lo = s * MP_loc - H
-            for jcol in range(W_ext):
-                g = lo + jcol
-                if 0 <= g < MP:
-                    out[:, s * W_ext + jcol] = glob2d[:, g]
+            lo = s * MP_loc - H      # global col of the shard's col 0
+            src_lo, src_hi = max(lo, 0), min(lo + W_ext, MP)
+            dst = s * W_ext
+            out[:, dst + (src_lo - lo):dst + (src_hi - lo)] = \
+                glob2d[:, src_lo:src_hi]
         for r in zero_halo_rows:
             for s in range(S):
                 out[r, s * W_ext:s * W_ext + H] = 0
@@ -649,15 +669,7 @@ class _StreamRunner:
     def run_xs(self, state, xs_dict, parity0, emit_idx=()):
         D = self._model.np_dtype
         n = len(xs_dict["t"])
-        xs = np.zeros((n, XS_LANES), D)
-        xs[:, 0] = xs_dict["cos_t"]
-        xs[:, 1] = xs_dict["cos_t_dt"]
-        xs[:, 2] = xs_dict["cos_hs"]
-        xs[:, 3] = xs_dict["cos_hs_dt"]
-        xs[:, 4] = xs_dict["cos_av"]
-        xs[:, 5] = xs_dict["sin_av"]
-        xs[:, 6] = xs_dict["do_av"].astype(D)
-        xs[:, 7] = xs_dict["t"]
+        xs = pack_xs_dict(xs_dict, D)
         return self._run_table(state, xs, n, parity0, emit_idx)
 
     def _run_table(self, state, xs_n, n, parity0, emit_idx):

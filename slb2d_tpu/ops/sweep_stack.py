@@ -27,8 +27,12 @@ E_omega>0 gating (reference src/boltzmann_c_solver.c:188) is an `egate`
 column.
 
 Constraints: omega, dt, t-max are shared across points (one trig/xs
-table and one averaging window; ParameterSweep falls back to the vmapped
-XLA engine when omega is swept or a mesh is attached).
+table and one averaging window), and one point must fit the VMEM
+residency bound (fits_vmem_point).  ParameterSweep falls back to the
+vmapped XLA engine when omega is swept, when a point is too large, or
+when the mesh has a "space" axis; a pure "sweep" mesh is supported —
+the stacked rows shard at point-group boundaries (SweepStackRunner
+(mesh=..., axis=...), shard_map over the sweep axis).
 """
 
 from __future__ import annotations
@@ -49,6 +53,21 @@ from .stepper_pallas import (XS_LANES, _pl_shift, build_xs_table,
 PP_EDC, PP_EOM, PP_B, PP_BDT, PP_EGATE = range(5)
 # av columns: count, <v_dr>, <v_y>, <m_x>, A, Asin, Kahan(A), Kahan(Asin)
 AV_COLS = 8
+
+
+# Largest single point (NHP*MP f32 elements) the kernel can hold
+# VMEM-resident at G=1 — beyond it even one-point groups cannot compile
+# against Mosaic's 100 MB scoped stack and ParameterSweep falls back to
+# the vmapped XLA engine.  Upper estimate carried over from the
+# megakernel's MEASURED ~1.0M-point bound (stepper_pallas.fits_vmem:
+# ~22.7 resident array copies; this kernel has the same in+out residency
+# pattern plus only (G*NHP, 128) column tables).
+MAX_POINT_ELEMS = 1_000_000
+
+
+def fits_vmem_point(NHP: int, MP: int) -> bool:
+    """Whether ONE sweep point fits the stack kernel's VMEM residency."""
+    return NHP * MP <= MAX_POINT_ELEMS
 
 
 def default_group_points(NHP: int, MP: int) -> int:

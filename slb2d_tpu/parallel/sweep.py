@@ -373,15 +373,27 @@ class ParameterSweep:
     def _use_stack_engine(self) -> bool:
         """Eligibility for the stacked sweep megakernel: float32, shared
         omega (one trig table / exit step), no SPACE sharding (a pure
-        "sweep" mesh is fine — points shard at stacked-row boundaries).
-        impl=pallas|stream forces it (interpret mode off-TPU, for tests);
-        impl=auto takes it on TPU; impl=xla never."""
+        "sweep" mesh is fine — points shard at stacked-row boundaries),
+        and one point inside the VMEM residency bound (beyond it even a
+        G=1 group cannot compile; the vmapped XLA engine streams HBM at
+        any size).  impl=pallas|stream forces it (interpret mode off-TPU,
+        for tests); impl=auto takes it on TPU; impl=xla never."""
         if self.space_axis is not None:
             return False
         if self.base.np_dtype != np.float32 or "omega" in self.params:
             return False
         impl = self.cfg.impl
         if impl == "xla":
+            return False
+        from ..ops.sweep_stack import fits_vmem_point
+        if not fits_vmem_point(self.base.NHP, self.base.MP):
+            if impl in ("pallas", "stream"):
+                import warnings
+                warnings.warn(
+                    f"impl={impl}: one sweep point "
+                    f"({self.base.NHP}x{self.base.MP}) exceeds the stack "
+                    f"engine's VMEM residency bound; using the vmapped "
+                    f"XLA engine")
             return False
         if impl in ("pallas", "stream"):
             return True

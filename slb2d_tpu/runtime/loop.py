@@ -108,6 +108,11 @@ class Simulation:
             if impl in ("pallas", "stream"):
                 if self.cfg.dtype != "f32":
                     raise ValueError("impl=pallas requires dtype=f32")
+                # fail fast (eager-validation convention): geometries the
+                # sharded kernel cannot compile raise here, not mid-run
+                from ..ops.stepper_stream import validate_sharded_geometry
+                validate_sharded_geometry(self.model.NHP, self.model.MP,
+                                          self.cfg.shards)
                 self._engine = "stream-shard"
                 return "pallas"
             return "xla"

@@ -280,3 +280,30 @@ def test_impl_pallas_routes_to_stream_beyond_vmem_bound():
     sim2.cfg = cfg2
     sim2._build_model()
     assert sim2.impl == "pallas" and sim2._engine == "mega"
+
+
+def test_sharded_stream_rejects_oversized_shard_eagerly():
+    """A per-shard slice over the MEASURED extended-tile budget (620k
+    elements — default_tile_w's bound, which this launch shares) raises
+    a clean 'raise shards=' ValueError at Simulation construction, not a
+    Mosaic compile failure mid-run (code-review r3 finding #2)."""
+    from slb2d_tpu.ops.stepper_stream import (H, TILE_ELEM_BUDGET,
+                                              validate_sharded_geometry)
+    from slb2d_tpu.runtime.loop import Simulation
+
+    # N=100 (NHP=104), shards=2, M=16381 -> MP=16384, W_ext=8448:
+    # 104*(8448+256) = 905k > 620k — the exact geometry from the review
+    with pytest.raises(ValueError, match="raise shards="):
+        validate_sharded_geometry(104, 16384, 2)
+    cfg = SimConfig(**{**CFG, "g_grid": 16381, "n_harmonics": 100},
+                    impl="pallas", shards=2)
+    sim = Simulation.__new__(Simulation)
+    sim.cfg = cfg
+    with pytest.raises(ValueError, match="raise shards="):
+        sim._build_model()
+    # raising shards as instructed makes the same grid legal
+    assert 104 * (16384 // 4 + 4 * H) <= TILE_ELEM_BUDGET
+    validate_sharded_geometry(104, 16384, 4)
+    # non-H-multiple per-shard slices keep their own message
+    with pytest.raises(ValueError, match="multiple"):
+        validate_sharded_geometry(104, 128 * 3, 2)   # 192 % H != 0

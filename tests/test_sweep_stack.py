@@ -177,3 +177,21 @@ def test_stack_engine_eligibility():
     # impl=xla never
     assert not ParameterSweep(SimConfig(**CFG, impl="xla"),
                               PARAMS)._use_stack_engine()
+
+
+def test_stack_engine_vmem_point_gate():
+    """A single point beyond the VMEM residency bound (even G=1 cannot
+    compile) falls back to the vmapped XLA engine — with a warning when
+    pallas was explicit (code-review r3 finding #1)."""
+    big = dict(CFG, n_harmonics=100, g_grid=12000)   # 104x12160 ~ 1.26M
+    params = {"E_dc": np.linspace(0.3, 2.0, 4)}
+    sw = ParameterSweep(SimConfig(**big, impl="pallas"), params)
+    assert sw.base.NHP * sw.base.MP > 1_000_000
+    with pytest.warns(UserWarning, match="VMEM residency bound"):
+        assert not sw._use_stack_engine()
+    # impl=auto: silent fallback
+    import warnings as _w
+    sw = ParameterSweep(SimConfig(**big, impl="auto"), params)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert not sw._use_stack_engine()
