@@ -264,6 +264,43 @@ def test_simulation_impl_stream_movie_and_strobe(tmp_path, monkeypatch):
             np.testing.assert_allclose(vp, vx, rtol=2e-4, atol=1e-6)
 
 
+def test_simulation_sharded_stream_movie_and_strobe(tmp_path, monkeypatch):
+    """Displays 7 and 9 through the driver with shards=2 + impl=pallas
+    (the shard_map'd stream engine): same frame files as the
+    single-device XLA run — completes the engine x display matrix for
+    the sharded fast path (d4/d77 are pinned above)."""
+    import glob
+
+    from slb2d_tpu.runtime.loop import Simulation
+    monkeypatch.chdir(tmp_path)
+    for display, pat in ((7, "frame*.data"), (9, "strobe*.data")):
+        frames = {}
+        for tag, extra in (("xla", {}),
+                           ("shard", {"shards": 2, "impl": "pallas"})):
+            d = tmp_path / f"d{display}_{tag}"
+            d.mkdir()
+            monkeypatch.chdir(d)
+            cfg = SimConfig(**{**CFG, "display": display, "g_grid": 509,
+                               "t_start": 0.05}, out_file="out.txt",
+                            frame_batch=1, **extra)
+            sim = Simulation(cfg)
+            if tag == "shard":
+                assert sim._engine == "stream-shard"
+            if display == 9:
+                sim.t_max = float(np.float32(
+                    np.float32(0.05) + np.float32(3 * sim.model.T)))
+            sim.run()
+            frames[tag] = sorted(glob.glob(str(d / pat)))
+        assert len(frames["xla"]) == len(frames["shard"]) >= 3
+        for fx, fp in zip(frames["xla"], frames["shard"]):
+            vx = np.array([l.split()[2] for l in open(fx)
+                           if not l.startswith("#")], float)
+            vp = np.array([l.split()[2] for l in open(fp)
+                           if not l.startswith("#")], float)
+            np.testing.assert_allclose(vp, vx, rtol=2e-4, atol=1e-6,
+                                       err_msg=f"display {display}")
+
+
 def test_impl_pallas_routes_to_stream_beyond_vmem_bound():
     """impl=pallas is legal at ANY size: beyond the megakernel's measured
     VMEM bound the driver picks the stream engine instead of warning/
