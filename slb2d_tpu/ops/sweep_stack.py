@@ -57,11 +57,12 @@ AV_COLS = 8
 
 # Largest single point (NHP*MP f32 elements) the kernel can hold
 # VMEM-resident at G=1 — beyond it even one-point groups cannot compile
-# against Mosaic's 100 MB scoped stack and ParameterSweep falls back to
-# the vmapped XLA engine.  Upper estimate carried over from the
-# megakernel's MEASURED ~1.0M-point bound (stepper_pallas.fits_vmem:
-# ~22.7 resident array copies; this kernel has the same in+out residency
-# pattern plus only (G*NHP, 128) column tables).
+# and ParameterSweep falls back to the vmapped XLA engine.  MEASURED on
+# v5e (tests/perf/stack_bound_probe.py, G=1, N=100): 104x9600 = 998k
+# compiles and runs; 104x10368 = 1.078M fails XLA:TPU compile with
+# "Used 131.71M of 128.00M vmem" (~122 B/element = ~30.5 resident f32
+# array copies), as do 1.185M and 1.278M.  Same ~1.0M bound as the
+# single-run megakernel (stepper_pallas.fits_vmem).
 MAX_POINT_ELEMS = 1_000_000
 
 
