@@ -301,6 +301,34 @@ def test_simulation_sharded_stream_movie_and_strobe(tmp_path, monkeypatch):
                                        err_msg=f"display {display}")
 
 
+def test_sharded_stream_repl_round(tmp_path, monkeypatch):
+    """Parameter-server mutation on the sharded stream engine: the live
+    state continues through the mutation (D11 semantics — SMEM-style
+    params vector refreshed by update_consts, a0/bdt frozen) and the
+    display-4 rounds match the unsharded XLA REPL session."""
+    import io
+
+    from slb2d_tpu.runtime.loop import Simulation
+    monkeypatch.chdir(tmp_path)
+    script = "E_dc 1.5 0.05\nexit\n"
+    outs = {}
+    for tag, extra in (("single", {}),
+                       ("shard", {"shards": 2, "impl": "pallas"})):
+        cfg = SimConfig(**{**CFG, "g_grid": 509, "t_start": 0.1},
+                        read_from="stdin", out_file=f"{tag}.txt", **extra)
+        sim = Simulation(cfg)
+        if tag == "shard":
+            assert sim._engine == "stream-shard"
+        sim.run(repl_stream=io.StringIO(script))
+        outs[tag] = [np.array(ln.split(), float)
+                     for ln in open(tmp_path / f"{tag}.txt")
+                     .read().splitlines()
+                     if ln and not ln.startswith("#")]
+    assert len(outs["single"]) == 2     # initial round + one mutation round
+    for a, b in zip(outs["single"], outs["shard"]):
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6)
+
+
 def test_impl_pallas_routes_to_stream_beyond_vmem_bound():
     """impl=pallas is legal at ANY size: beyond the megakernel's measured
     VMEM bound the driver picks the stream engine instead of warning/
