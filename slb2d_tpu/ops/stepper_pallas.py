@@ -35,6 +35,13 @@ XS_LANES = 10
 # emission-record table width: 4 pre-step sums + t + av[0..7], padded
 OBS_LANES = 16
 
+# Largest chunk the megakernel accepts: the per-step xs table and the
+# display-77 record table ride SMEM, and tables past 512 rows fail the
+# Mosaic compile on v5e ("Ran out of memory in memory space smem. Used
+# 1.00M of 1.00M") — the driver clamps its schedule chunks here, and the
+# runner rejects larger requests eagerly with this message instead.
+MAX_CHUNK_STEPS = 512
+
 # xs tables pad to a multiple of this row quantum so nearby chunk
 # lengths share one compiled kernel (capacity changes recompile)
 XS_CAP_QUANTUM = 256
@@ -378,11 +385,23 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             """Pre-grow the padded capacity (the driver's warmup primes
             it to the schedule's largest chunk so exactly one kernel is
             ever compiled)."""
+            self._check_chunk(n_steps)
             self._cap = max(self._cap, capacity_rows(n_steps))
+
+        @staticmethod
+        def _check_chunk(n_steps):
+            if n_steps > MAX_CHUNK_STEPS:
+                raise ValueError(
+                    f"megakernel chunk of {n_steps} steps exceeds the "
+                    f"SMEM table limit ({MAX_CHUNK_STEPS}, measured on "
+                    f"v5e); split the run into <= {MAX_CHUNK_STEPS}-step "
+                    f"chunks (the Simulation driver does this) or use "
+                    f"the stream engine")
 
         def _padded(self, xs):
             n = xs.shape[0]
             if n > self._cap:
+                self._check_chunk(n)
                 self._cap = capacity_rows(n)
             if n < self._cap:
                 xs = np.concatenate(

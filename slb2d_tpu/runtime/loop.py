@@ -27,6 +27,13 @@ from . import schedule
 from .checkpoint import load_state, save_state
 
 
+def _mega_chunk_cap() -> int:
+    """Megakernel SMEM chunk limit, imported lazily (the stepper import
+    costs ~0.8 s and xla-engine configs never need it)."""
+    from ..ops.stepper_pallas import MAX_CHUNK_STEPS
+    return MAX_CHUNK_STEPS
+
+
 class NumericalInstability(RuntimeError):
     pass
 
@@ -302,15 +309,16 @@ class Simulation:
             frame_start=cfg.frame_start, T=model.T,
             dtype=model.np_dtype,
             # megakernel: the per-step xs table lives in SMEM — chunks
-            # are capped at 512 steps there even when the user sets
+            # are capped at MAX_CHUNK_STEPS there even when the user sets
             # steps-per-chunk higher (larger SMEM tables fail the Mosaic
             # compile, measured on v5e); the stream engine's tables are
             # per-launch (K, 10) SMEM slices of a regular HBM array, so
             # full chunks are fine
-            chunk_max=(min(cfg.steps_per_chunk, 512)
+            chunk_max=(min(cfg.steps_per_chunk, _mega_chunk_cap())
                        if self._engine == "mega" and cfg.steps_per_chunk
                        else cfg.steps_per_chunk or
-                       (512 if self._engine == "mega" else 4096)),
+                       (_mega_chunk_cap() if self._engine == "mega"
+                        else 4096)),
             frame_time0=self.frame_time,
             last_tT_reminder0=self.last_rem,
             break_on_e77=not self._batched_emission())

@@ -170,3 +170,49 @@ def test_pallas_one_compile_serves_all_chunk_lengths():
     np.testing.assert_allclose(float(out.t), 256 * float(model.dt),
                                rtol=1e-5)
     assert np.all(np.isfinite(np.asarray(out.a)))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU perf smoke (tests force the CPU "
+                           "backend; set SLB2D_TPU_TESTS=1 to enable)")
+def test_pallas_tpu_perf_smoke():
+    """Perf floor on the real chip: the megakernel at a mid-size grid
+    (N=40, M=2000) must stay >= 3e9 site-updates/s — an order of
+    magnitude under the ~4.5e10 flagship steady state, 3x over the 1e9
+    north star, so only a catastrophic Mosaic/engine regression trips it
+    (tunnel variance on this box is ~±35%, PERF.md)."""
+    import time
+
+    cfg = SimConfig(**{**CFG, "n_harmonics": 40, "g_grid": 2000})
+    model = SuperlatticeModel(cfg)
+    c = stencil.consts_from_model(model)
+    runner = make_pallas_runner(c, model, av_enabled=True)
+    out = runner(stencil.bootstrap_state(c, model), 512)   # compile+warm
+    np.asarray(out.a)                 # fetch = the axon barrier
+    t0 = time.time()
+    steps = 0
+    for _ in range(8):
+        out = runner(out, 512)       # driver's SMEM-capped chunk length
+        steps += 512
+    np.asarray(out.a)
+    wall = time.time() - t0
+    ups = 2 * (model.N + 1) * (model.M + 1) * steps / wall
+    assert np.all(np.isfinite(np.asarray(out.a)))
+    assert ups >= 3e9, f"megakernel perf smoke: {ups:.3e} updates/s"
+
+
+def test_pallas_chunk_over_smem_cap_raises_eagerly():
+    """Chunks beyond MAX_CHUNK_STEPS fail the Mosaic compile with an SMEM
+    OOM on real hardware; the runner must reject them with an actionable
+    error instead (the driver never sends them — this protects direct
+    API users)."""
+    from slb2d_tpu.ops.stepper_pallas import MAX_CHUNK_STEPS
+
+    cfg, model, c = build()
+    runner = make_pallas_runner(c, model)
+    with pytest.raises(ValueError, match="SMEM table limit"):
+        runner.reserve(MAX_CHUNK_STEPS + 1)
+    with pytest.raises(ValueError, match="SMEM table limit"):
+        runner(stencil.bootstrap_state(c, model), MAX_CHUNK_STEPS + 1)
+    out = runner(stencil.bootstrap_state(c, model), 64)   # still usable
+    assert np.all(np.isfinite(np.asarray(out.a)))
