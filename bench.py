@@ -91,10 +91,11 @@ def bench_driver(impl: str, N=100, M=4000, t_start=10.0, exact_time=True,
         sim = Simulation(cfg)
         sim.warmup()
         time.sleep(10)
-        # best of 3 full runs: this box's tunnel process steals the single
-        # CPU core in bursts, inflating individual walls by up to ~30%
+        # best of 5 full runs: this box's tunnel process steals the single
+        # CPU core in bursts, inflating individual walls by up to ~30%;
+        # each rep is sub-second after warmup so extra reps are nearly free
         wall = float("inf")
-        for rep in range(3):
+        for rep in range(5):
             if rep:
                 sim.state = stencil.bootstrap_state(sim.c, sim.model)
                 sim.t0 = 0.0
