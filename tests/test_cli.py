@@ -99,3 +99,20 @@ def test_cli_compile_cache_dir(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(cache)
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_cli_parse_stops_at_first_bare_token():
+    """Reference parser quirk (src/boltzmann_cli.c:98-103): parsing stops
+    at the first token without '=', silently dropping everything after it
+    — so `... quiet impl=xla` never sees impl=xla.  Unknown keys are
+    ignored and later keys override earlier ones."""
+    from slb2d_tpu import config as cfgmod
+
+    cfg = cfgmod.parse_cmd(["display=4", *ARGS, "quiet", "impl=xla"])
+    assert cfg.impl == "auto"          # impl=xla was after the bare token
+    assert cfg.quiet is True           # from ARGS' quiet=1, not the token
+    cfg = cfgmod.parse_cmd(["display=4", *ARGS, "impl=xla", "quiet"])
+    assert cfg.impl == "xla"           # before the bare token: parsed
+    cfg = cfgmod.parse_cmd(["display=4", *ARGS, "no-such-key=5",
+                            "E_dc=7.5"])
+    assert cfg.E_dc == 7.5             # unknown key skipped, later wins
