@@ -75,6 +75,13 @@ class Simulation:
             self.t0 = float(extra.get("t0", float(self.state.t)))
             self.frame_time = float(extra.get("frame_time", 0.0))
             self.frame_number = int(extra.get("frame_number", 1))
+            # display-9 strobe carries: without these a resumed strobe run
+            # would silently drop all accumulated periods and reset the
+            # t/T wraparound reminder (reference semantics keep both live
+            # across the whole run, src/boltzmann_solver.c:260-275,447-484)
+            self.last_rem = float(extra.get("last_rem", 0.0))
+            if "strobe_values" in extra:
+                self.strobe_values = np.asarray(extra["strobe_values"])
             self.steps_done = int(self.state.step)
         else:
             self.state = stencil.bootstrap_state(self.c, self.model)
@@ -277,10 +284,16 @@ class Simulation:
             # (collective), then process 0 writes the file
             host_state = (jax.tree.map(self._fetch_np, self.state)
                           if self._nprocs > 1 else self.state)
+            # collective fetch on EVERY process (p0-only would deadlock
+            # the allgather), then process 0 alone writes the file
+            extra = {}
+            if self.strobe_values is not None:
+                extra["strobe_values"] = self._fetch_np(self.strobe_values)
             if self._p0:
                 save_state(cfg.checkpoint, host_state, model=self.model,
                            t0=self.t_exit, frame_time=self.frame_time,
-                           frame_number=self.frame_number)
+                           frame_number=self.frame_number,
+                           last_rem=self.last_rem, **extra)
         if self.out not in (sys.stdout, sys.stderr):
             self.out.close()
         return self.state
