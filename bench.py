@@ -24,11 +24,11 @@ from slb2d_tpu.ops import stencil
 BASELINE = 1e9  # updates/sec north star (BASELINE.json)
 
 
-def build(impl: str, N=100, M=4000):
+def build(impl: str, N=100, M=4000, dtype="f32"):
     cfg = SimConfig(display=8, E_dc=1.0, E_omega=2.0, omega=1.0, mu=1.0,
                     alpha=0.9495, n_harmonics=N, phi_y_min=-10.0,
                     phi_y_max=10.0, B=0.1, t_start=10.0, g_grid=M, dt=1e-3,
-                    impl=impl)
+                    impl=impl, dtype=dtype)
     model = SuperlatticeModel(cfg)
     c = stencil.consts_from_model(model)
     state = stencil.bootstrap_state(c, model)
@@ -50,8 +50,8 @@ def build(impl: str, N=100, M=4000):
     return model, state, run
 
 
-def bench(impl: str, chunk=1000, reps=20, N=100, M=4000):
-    model, state, run = build(impl, N, M)
+def bench(impl: str, chunk=1000, reps=20, N=100, M=4000, dtype="f32"):
+    model, state, run = build(impl, N, M, dtype)
     # warmup / compile; a full host fetch is the only reliable barrier on
     # the axon tunnel platform (block_until_ready returns early there)
     state = run(state, chunk)
@@ -251,6 +251,23 @@ def main():
         print(json.dumps({
             "metric": ("aggregate sweep site-updates/sec "
                        f"(64-point E_dc sweep, N=40 M=500, {sub})"),
+            "value": round(ups),
+            "unit": "updates/sec",
+            "vs_baseline": round(ups / BASELINE, 3),
+        }))
+        return
+    if impl == "f64":
+        # f64 verification-mode throughput (VERDICT r3 Weak #3): the XLA
+        # scan engine under jax_enable_x64 — the mode that rigorously
+        # meets the <=1e-6 BASELINE fidelity bar (docs/DEVIATIONS.md D7).
+        # Usage: python bench.py f64 [M] [N]
+        jax.config.update("jax_enable_x64", True)
+        M = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+        N = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+        ups, wall, steps = bench("xla", M=M, N=N, dtype="f64")
+        print(json.dumps({
+            "metric": (f"lattice-site updates/sec (N={N} M={M}, xla "
+                       f"engine, f64 verification mode)"),
             "value": round(ups),
             "unit": "updates/sec",
             "vs_baseline": round(ups / BASELINE, 3),

@@ -35,12 +35,21 @@ XS_LANES = 10
 # emission-record table width: 4 pre-step sums + t + av[0..7], padded
 OBS_LANES = 16
 
-# Largest chunk the megakernel accepts: the per-step xs table and the
-# display-77 record table ride SMEM, and tables past 512 rows fail the
-# Mosaic compile on v5e ("Ran out of memory in memory space smem. Used
-# 1.00M of 1.00M") — the driver clamps its schedule chunks here, and the
-# runner rejects larger requests eagerly with this message instead.
+# Largest SINGLE kernel launch: the per-step xs table and the display-77
+# record table ride SMEM, and tables past 512 rows fail the Mosaic
+# compile on v5e ("Ran out of memory in memory space smem. Used 1.00M of
+# 1.00M").  Chunks beyond this run as a lax.scan of 512-step launches
+# inside ONE dispatch (the device-resident chunk pipeline): the xs tables
+# for the whole chunk stage in HBM and each launch DMAs its (512, 10)
+# slice into SMEM — so a 16k-step run costs one host RPC, not 32 (the
+# reference C hot loop's zero per-step host cost,
+# src/boltzmann_c_solver.c:164-214, matched at chunk granularity).
 MAX_CHUNK_STEPS = 512
+
+# multi-launch capacity quanta: launch count and emission-record count
+# pad to these so nearby chunk shapes share one compiled executable
+LAUNCH_QUANTUM = 4
+EMIT_QUANTUM = 256
 
 # xs tables pad to a multiple of this row quantum so nearby chunk
 # lengths share one compiled kernel (capacity changes recompile)
@@ -94,6 +103,28 @@ def _pl_shift(arr, dn: int, dm: int):
     return out
 
 
+def _pl_shift_slice(arr, dn: int, dm: int):
+    """Slice+zero-pad m-shift variant (roll-vs-slice layout A/B,
+    tests/perf/roll_vs_slice.py): the m±1 reads become statically-offset
+    lane slices concatenated with a zero edge column instead of modular
+    pltpu.rolls.  Differs from _pl_shift only in the value wrapped into
+    the far edge column — a ghost column the col masks zero in every
+    output, so the two variants are numerically identical.  n-shifts
+    (sublane) stay rolls."""
+    out = arr
+    if dm == 1:          # read m+1: shift left, zero into the last lane
+        z = jnp.zeros_like(out[:, :1])
+        out = jnp.concatenate([out[:, 1:], z], axis=1)
+    elif dm == -1:
+        z = jnp.zeros_like(out[:, :1])
+        out = jnp.concatenate([z, out[:, :-1]], axis=1)
+    elif dm:
+        out = pltpu.roll(out, np.int32((-dm) % out.shape[1]), 1)
+    if dn:
+        out = pltpu.roll(out, np.int32((-dn) % out.shape[0]), 0)
+    return out
+
+
 # physics-scalar packing order for the SMEM params vector
 SCALAR_FIELDS = ("E_dc", "E_omega", "omega", "B", "dt", "nu", "nu2",
                  "nu_tilde", "bdt", "t_start", "t_end")
@@ -108,7 +139,7 @@ def _kernel(meta_ref,                   # SMEM (2,) i32: n_steps, parity0
             wav_ref, wavphi_ref, rowup_ref, colmain_ref, colhalf_ref,
             coledge_ref, aghost_ref, edges_ref,
             a_out, b_out, ahs_out, bhs_out, edges_out, av_out, obs_out,
-            *, unroll: int, edge_col: int):
+            *, unroll: int, edge_col: int, shift=_pl_shift):
     """Run meta_ref[0] full solver steps in VMEM.
 
     Mosaic wants >=2-D vector layouts, so the vector/scalar bookkeeping of
@@ -174,7 +205,7 @@ def _kernel(meta_ref,                   # SMEM (2,) i32: n_steps, parity0
         mu1_main = mu_of(cos_t_dt)
         a_new, b_new = stencil.apply_half_step(
             consts, a, b, ahs, bhs, cos_t, cos_t_dt, main=True,
-            shift=_pl_shift, use_reciprocal=True,
+            shift=shift, use_reciprocal=True,
             mus=(mu_main, mu1_main))
         # parity ghost fill (main buffer 0 keeps a0 ghost cells): scalar
         # 0/1 gate * table + add — FMA-fusable, no full-array select
@@ -186,7 +217,7 @@ def _kernel(meta_ref,                   # SMEM (2,) i32: n_steps, parity0
         mu1_hs = mu_of(cos_hs_dt)
         ahs_new, bhs_new = stencil.apply_half_step(
             consts, ahs, bhs, a_new, b_new, cos_hs, cos_hs_dt, main=False,
-            shift=_pl_shift, use_reciprocal=True,
+            shift=shift, use_reciprocal=True,
             mus=(mu_hs, mu1_hs))
         # stale column M+1 of the retired half-step buffer: single-device
         # kernel, so plain column reads/stores instead of the one-hot-mask
@@ -267,7 +298,8 @@ def _kernel(meta_ref,                   # SMEM (2,) i32: n_steps, parity0
 
 
 def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
-                       exact_trig=False, interpret=None, unroll=None):
+                       exact_trig=False, interpret=None, unroll=None,
+                       m_shift="roll"):
     """(state, n_steps) -> state, running n_steps inside one Pallas kernel
     per call (chunk length and parity are SMEM data — one compile).
     interpret=None auto-selects interpreter mode on non-TPU backends.
@@ -297,19 +329,14 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
     wav2 = np.asarray(c.w_av, D).reshape(1, MP)
     wavphi2 = np.asarray(c.w_av_phi, D).reshape(1, MP)
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def run(state: stencil.State, xs_table, params_arg, meta):
-        edges = jnp.zeros((NHP, 128), D)
-        edges = edges.at[:, 0].set(state.hs_edge_a)
-        edges = edges.at[:, 1].set(state.hs_edge_b)
-        av = jnp.asarray(state.av)   # (8,) incl. Kahan compensations
-
+    def _make_call(xs_rows):
         kernel = functools.partial(
             _kernel,
             unroll=(unroll if unroll is not None
                     else (8 if NHP * MP >= (64 * 1024) else 1)),
-            edge_col=model.M + 1)
-        outs = pl.pallas_call(
+            edge_col=model.M + 1,
+            shift=(_pl_shift_slice if m_shift == "slice" else _pl_shift))
+        return pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
@@ -323,7 +350,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
                 jax.ShapeDtypeStruct((NHP, 128), D),  # edges
                 jax.ShapeDtypeStruct((8,), D),        # av (SMEM)
                 jax.ShapeDtypeStruct(                 # d77 records (SMEM)
-                    (xs_table.shape[0], OBS_LANES), D),
+                    (xs_rows, OBS_LANES), D),
             ],
             input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 20: 4},
             # 100 MB: raising the budget does NOT extend residency — at
@@ -333,14 +360,30 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(meta, xs_table, av, params_arg,
-          state.a, state.b, state.a_hs, state.b_hs,
-          jnp.asarray(c.a0), phi2, jnp.asarray(c.n_float),
-          jnp.asarray(c.n_ge2), jnp.asarray(c.w_n), wav2,
-          wavphi2, jnp.asarray(f_masks["rowup"]),
-          jnp.asarray(f_masks["colmain"]), jnp.asarray(f_masks["colhalf"]),
-          jnp.asarray(f_masks["coledge"]), jnp.asarray(c.a0_ghost),
-          edges)
+        )
+
+    def _const_args():
+        return (jnp.asarray(c.a0), phi2, jnp.asarray(c.n_float),
+                jnp.asarray(c.n_ge2), jnp.asarray(c.w_n), wav2,
+                wavphi2, jnp.asarray(f_masks["rowup"]),
+                jnp.asarray(f_masks["colmain"]),
+                jnp.asarray(f_masks["colhalf"]),
+                jnp.asarray(f_masks["coledge"]), jnp.asarray(c.a0_ghost))
+
+    def _edges_of(state):
+        edges = jnp.zeros((NHP, 128), D)
+        edges = edges.at[:, 0].set(state.hs_edge_a)
+        edges = edges.at[:, 1].set(state.hs_edge_b)
+        return edges
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state: stencil.State, xs_table, params_arg, meta):
+        edges = _edges_of(state)
+        av = jnp.asarray(state.av)   # (8,) incl. Kahan compensations
+        outs = _make_call(xs_table.shape[0])(
+            meta, xs_table, av, params_arg,
+            state.a, state.b, state.a_hs, state.b_hs,
+            *_const_args(), edges)
         a, b, ahs, bhs, edges_o, av_o, obs_o = outs
         # t continues exactly: last EXECUTED row's loop t plus one f32 dt,
         # identical to the C driver's sequential accumulation (the table
@@ -350,6 +393,44 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             a=a, b=b, a_hs=ahs, b_hs=bhs,
             hs_edge_a=edges_o[:, 0], hs_edge_b=edges_o[:, 1], av=av_o,
             t=t_next, step=state.step + meta[0]), obs_o
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_multi(state: stencil.State, xs_all, metas, params_arg, gather):
+        """Device-resident chunk pipeline: lax.scan over per-launch SMEM
+        windows of the HBM-staged xs tables — one host dispatch runs
+        L x 512 steps (the stream engine's launch-scan structure applied
+        to the VMEM-resident kernel).  xs_all: (L, B, XS_LANES); metas:
+        (L, 2) i32 [n_steps, parity]; gather: (E, 2) i32 [launch, slot]
+        rows selecting the display-77 records in emission order."""
+        B = xs_all.shape[1]
+        av = jnp.asarray(state.av)
+        call = _make_call(B)
+        cargs = _const_args()
+
+        def real(carry, xs_l, meta_l):
+            a, b, ahs, bhs, edg, av_c = carry
+            outs = call(meta_l, xs_l, av_c, params_arg, a, b, ahs, bhs,
+                        *cargs, edg)
+            a, b, ahs, bhs, edg, av_c, obs = outs
+            return (a, b, ahs, bhs, edg, av_c), obs
+
+        def launch(carry, inp):
+            xs_l, meta_l = inp
+            # capacity-padding launches (n=0) skip the kernel entirely
+            return jax.lax.cond(
+                meta_l[0] > 0, real,
+                lambda c_, *_: (c_, jnp.zeros((B, OBS_LANES), D)),
+                carry, xs_l, meta_l)
+
+        init = (state.a, state.b, state.a_hs, state.b_hs,
+                _edges_of(state), av)
+        (a, b, ahs, bhs, edg, av_o), obs_all = jax.lax.scan(
+            launch, init, (xs_all, metas))
+        obs = obs_all[gather[:, 0], gather[:, 1]]
+        return stencil.State(
+            a=a, b=b, a_hs=ahs, b_hs=bhs,
+            hs_edge_a=edg[:, 0], hs_edge_b=edg[:, 1], av=av_o,
+            t=state.t, step=state.step), obs
 
     class Runner:
         """Stateful wrapper tracking step parity and loop t host-side so no
@@ -368,11 +449,14 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             self.t0 = 0.0
             self.c = c
             self.params = params
-            self._cap = 0
+            self._cap = 0                # single-launch xs capacity (rows)
+            self._lcap = 0               # multi-launch capacity (launches)
+            self._ecap = 0               # emission-record capacity (multi)
             self._jit_run = run          # exposed for compile-count tests
-            self.last_obs = None         # device (CAP, OBS_LANES) table of
-                                         # the most recent run's display-77
-                                         # records (rows 0..n_emit-1 valid)
+            self._jit_run_multi = run_multi
+            self.last_obs = None         # device table of the most recent
+                                         # run's display-77 records (rows
+                                         # 0..n_emit-1 valid)
 
         def update_consts(self, c_new):
             self.c = c_new
@@ -381,38 +465,79 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
                 p[i] = D(getattr(c_new, name))
             self.params = p
 
-        def reserve(self, n_steps):
-            """Pre-grow the padded capacity (the driver's warmup primes
-            it to the schedule's largest chunk so exactly one kernel is
-            ever compiled)."""
-            self._check_chunk(n_steps)
-            self._cap = max(self._cap, capacity_rows(n_steps))
+        @property
+        def compile_key(self):
+            """Executable identity: runs sharing this key share one
+            compiled program (the driver's warmup dedups on it)."""
+            return (self._cap, self._lcap, self._ecap)
 
-        @staticmethod
-        def _check_chunk(n_steps):
-            if n_steps > MAX_CHUNK_STEPS:
-                raise ValueError(
-                    f"megakernel chunk of {n_steps} steps exceeds the "
-                    f"SMEM table limit ({MAX_CHUNK_STEPS}, measured on "
-                    f"v5e); split the run into <= {MAX_CHUNK_STEPS}-step "
-                    f"chunks (the Simulation driver does this) or use "
-                    f"the stream engine")
+        def reserve(self, n_steps, n_emit=0):
+            """Pre-grow the padded capacities (the driver's warmup primes
+            them to the schedule's largest chunk so exactly one
+            executable is ever compiled)."""
+            if n_steps > MAX_CHUNK_STEPS or self._lcap:
+                L = -(-n_steps // MAX_CHUNK_STEPS)
+                self._lcap = max(self._lcap,
+                                 -(-L // LAUNCH_QUANTUM) * LAUNCH_QUANTUM)
+            else:
+                self._cap = max(self._cap, capacity_rows(n_steps))
+            if n_emit:
+                self._ecap = max(self._ecap,
+                                 -(-n_emit // EMIT_QUANTUM) * EMIT_QUANTUM)
 
         def _padded(self, xs):
             n = xs.shape[0]
             if n > self._cap:
-                self._check_chunk(n)
                 self._cap = capacity_rows(n)
             if n < self._cap:
                 xs = np.concatenate(
                     [xs, np.zeros((self._cap - n, XS_LANES), D)])
             return xs
 
-        def _run(self, state, xs, n, parity0):
+        def _run(self, state, xs, n, parity0, emit_idx=()):
+            # once a run has gone multi-launch, route every chunk through
+            # it — mixing paths would compile two executables per round
+            if n > MAX_CHUNK_STEPS or self._lcap:
+                return self._run_multi(state, xs, n, parity0, emit_idx)
+            if len(emit_idx):
+                idx = np.asarray(emit_idx, np.int64)
+                xs = xs.copy()
+                xs[idx, 8] = 1
+                xs[idx, 9] = np.arange(idx.size, dtype=D)
             meta = jnp.asarray(np.array([n, parity0], np.int32))
             out, self.last_obs = run(state, self._padded(xs), self.params,
                                      meta)
             return out
+
+        def _run_multi(self, state, xs, n, parity0, emit_idx):
+            B = MAX_CHUNK_STEPS          # even, so parity is per-chunk
+            self.reserve(n, len(emit_idx))
+            Lc, Ec = self._lcap, self._ecap
+            xs_pad = np.zeros((Lc * B, XS_LANES), D)
+            xs_pad[:n] = xs
+            gather = np.zeros((Ec, 2), np.int32)
+            if len(emit_idx):
+                idx = np.asarray(emit_idx, np.int64)   # ascending
+                l_ids = idx // B
+                # record slots are LOCAL per launch (each launch owns its
+                # own SMEM obs table): slot = rank within the launch
+                slots = np.arange(idx.size) - np.searchsorted(idx,
+                                                              l_ids * B)
+                xs_pad[idx, 8] = 1
+                xs_pad[idx, 9] = slots.astype(D)
+                gather[:idx.size, 0] = l_ids
+                gather[:idx.size, 1] = slots
+            metas = np.zeros((Lc, 2), np.int32)
+            full, tail = divmod(n, B)
+            metas[:full, 0] = B
+            if tail:
+                metas[full, 0] = tail
+            metas[:, 1] = parity0
+            out, self.last_obs = run_multi(
+                state, jnp.asarray(xs_pad.reshape(Lc, B, XS_LANES)),
+                jnp.asarray(metas), self.params, jnp.asarray(gather))
+            t_next = D(xs[n - 1, 7] + D(self.c.dt))
+            return out._replace(t=jnp.asarray(t_next), step=out.step + n)
 
         def __call__(self, state, n_steps):
             xs = build_xs_table(model, self.c, self.t0, self.step0, n_steps,
@@ -430,11 +555,7 @@ def make_pallas_runner(c: stencil.StencilConsts, model, av_enabled=True,
             the in-kernel table (fetch via take_obs)."""
             n = len(xs_dict["t"])
             xs = pack_xs_dict(xs_dict, D)
-            if len(emit_idx):
-                idx = np.asarray(emit_idx, np.int64)
-                xs[idx, 8] = 1
-                xs[idx, 9] = np.arange(idx.size, dtype=D)
-            return self._run(state, xs, n, parity0)
+            return self._run(state, xs, n, parity0, emit_idx)
 
         def take_obs(self, n_emit):
             """The last run's first n_emit display-77 records, fetched in

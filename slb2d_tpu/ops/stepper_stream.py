@@ -650,7 +650,13 @@ class _StreamRunner:
             p[j] = D(getattr(c_new, name))
         self.params = p
 
-    def reserve(self, n_steps):
+    @property
+    def compile_key(self):
+        """Executable identity (see stepper_pallas.Runner.compile_key):
+        the emit array is always L*K long here, so launches alone key."""
+        return self._cap
+
+    def reserve(self, n_steps, n_emit=0):
         launches = -(-n_steps // self.K)
         L = -(-launches // LAUNCH_QUANTUM) * LAUNCH_QUANTUM
         self._cap = max(self._cap, L)

@@ -49,10 +49,15 @@ from . import stencil
 from .stepper_pallas import (XS_LANES, _pl_shift, build_xs_table,
                              capacity_rows)
 
-# pparams columns
-PP_EDC, PP_EOM, PP_B, PP_BDT, PP_EGATE = range(5)
+# pparams columns (OMEGA/TEND feed the per-point-omega mode)
+PP_EDC, PP_EOM, PP_B, PP_BDT, PP_EGATE, PP_OMEGA, PP_TEND = range(7)
 # av columns: count, <v_dr>, <v_y>, <m_x>, A, Asin, Kahan(A), Kahan(Asin)
 AV_COLS = 8
+# per-point-omega mode: 4 more av-table columns roll the loop-exit
+# instantaneous capture (the vmapped engine's _make_point_step capture,
+# parallel/sweep.py) — points exit at their OWN t_end there
+CAP_COL0 = 8
+CAP_KEYS = ("v_dr", "v_y", "m_x", "norm")
 
 
 # Largest single point (NHP*MP f32 elements) the kernel can hold
@@ -81,8 +86,16 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
             a_ref, b_ref, ahs_ref, bhs_ref, a0_ref, ag_ref,
             pp_ref, ncol_ref, rowm_ref, edges_ref, av_ref,
             a_out, b_out, ahs_out, bhs_out, edges_out, av_out,
-            *, unroll: int, edge_col: int):
-    """Advance one point-group meta[0] steps in VMEM (see module doc)."""
+            *, unroll: int, edge_col: int, per_omega: bool = False):
+    """Advance one point-group meta[0] steps in VMEM (see module doc).
+
+    per_omega=True: omega varies per point — trig is evaluated in-kernel
+    on per-point columns (f32 cos/sin of f32 products, the SAME class the
+    vmapped engine's stencil.device_trig uses on its fast path), the
+    averaging window ends at each point's own t_end (PP_TEND column), and
+    the display-4 loop-exit instantaneous sums roll per point into av
+    columns CAP_COL0.. (the vmapped capture semantics).  The shared-omega
+    mode keeps its host-exact SMEM trig tables bit-for-bit."""
     dtype = a_ref.dtype
     zero = jnp.zeros((), dtype)
     one = jnp.ones((), dtype)
@@ -111,6 +124,8 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
         nu_tilde=sparams_ref[3], omega=sparams_ref[4],
         t_start=sparams_ref[5], t_end=sparams_ref[6])
     eg = pp_ref[:, 4:5]
+    om_col = pp_ref[:, 5:6]
+    tend_col = pp_ref[:, 6:7]
     dt = consts.dt
 
     def mu_of(cos_v):
@@ -118,14 +133,26 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
         return nf * ((consts.E_dc + consts.E_omega * cos_v
                       + consts.B * phi_row) * dt / 2)
 
+    def trig_of(i):
+        """(cos_t, cos_t_dt, cos_hs, cos_hs_dt, cos_av, sin_av): SMEM
+        scalars in shared-omega mode; per-point (rows, 1) columns from
+        in-kernel f32 trig in per-omega mode (stencil.device_trig
+        formulas — f32 products, f32 cos — so the vmapped engine and this
+        one evaluate the same expressions)."""
+        if not per_omega:
+            return (xs_ref[i, 0], xs_ref[i, 1], xs_ref[i, 2],
+                    xs_ref[i, 3], xs_ref[i, 4], xs_ref[i, 5])
+        t = xs_ref[i, 7]
+        t_hs = t + dt / 2
+        cos_t = jnp.cos(om_col * t)
+        return (cos_t, jnp.cos(om_col * (t + dt)),
+                jnp.cos(om_col * t_hs), jnp.cos(om_col * (t_hs + dt)),
+                cos_t, jnp.sin(om_col * t))
+
     def do_step(i, mu_main):
-        cos_t = xs_ref[i, 0]
-        cos_t_dt = xs_ref[i, 1]
-        cos_hs = xs_ref[i, 2]
-        cos_hs_dt = xs_ref[i, 3]
-        cos_av = xs_ref[i, 4]
-        sin_av = xs_ref[i, 5]
+        cos_t, cos_t_dt, cos_hs, cos_hs_dt, cos_av, sin_av = trig_of(i)
         do_av = xs_ref[i, 6] > 0
+        t_i = xs_ref[i, 7]
 
         a = a_out[:]
         b = b_out[:]
@@ -151,29 +178,51 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
         new_edge_b = bhs[:, ME:ME + 1]
 
         # columnar av(): every row runs the chain of its own row-sum;
-        # only rows 0/1 of each point are read out (module doc)
+        # only rows 0/1 of each point are read out (module doc).  In
+        # per-omega mode each point's window additionally ends at its OWN
+        # t_end (the shared xs gate spans to the LONGEST window there).
+        if per_omega:
+            egm = eg * jnp.where(t_i < tend_col, one, zero)
+        else:
+            egm = eg
+
         @pl.when(do_av)
         def _():
-            cnt = av_out[:, 0:1] + eg
+            cnt = av_out[:, 0:1] + egm
             cnt_safe = jnp.maximum(cnt, one)
             s_vdr = jnp.sum(b_new * wav_row, axis=1, keepdims=True)
             s_vy = jnp.sum(a_new * wavphi_row, axis=1, keepdims=True)
             s_mx = jnp.sum(a_new * wav_row, axis=1, keepdims=True)
             av_out[:, 1:2] = (av_out[:, 1:2]
-                              + eg * (s_vdr - av_out[:, 1:2]) / cnt_safe)
+                              + egm * (s_vdr - av_out[:, 1:2]) / cnt_safe)
             av_out[:, 2:3] = (av_out[:, 2:3]
-                              + eg * (s_vy - av_out[:, 2:3]) / cnt_safe)
+                              + egm * (s_vy - av_out[:, 2:3]) / cnt_safe)
             av_out[:, 3:4] = (av_out[:, 3:4]
-                              + eg * (s_mx - av_out[:, 3:4]) / cnt_safe)
-            y4 = eg * (cos_av * s_vdr * dt) - av_out[:, 6:7]
+                              + egm * (s_mx - av_out[:, 3:4]) / cnt_safe)
+            y4 = egm * (cos_av * s_vdr * dt) - av_out[:, 6:7]
             t4 = av_out[:, 4:5] + y4
             av_out[:, 6:7] = (t4 - av_out[:, 4:5]) - y4
             av_out[:, 4:5] = t4
-            y5 = eg * (sin_av * s_vdr * dt) - av_out[:, 7:8]
+            y5 = egm * (sin_av * s_vdr * dt) - av_out[:, 7:8]
             t5 = av_out[:, 5:6] + y5
             av_out[:, 7:8] = (t5 - av_out[:, 5:6]) - y5
             av_out[:, 5:6] = t5
             av_out[:, 0:1] = cnt
+
+        if per_omega:
+            # loop-exit capture (vmapped _make_point_step): the last step
+            # with PRE-step t < t_end overwrites; rows compute their own
+            # row-sum, rows 0/1 of each point are read out
+            live = t_i < tend_col
+            wd4 = rowm_ref[6:7, :]
+            wd4p = rowm_ref[7:8, :]
+            caps = (jnp.sum(b_new * wd4, axis=1, keepdims=True),
+                    jnp.sum(a_new * wd4p, axis=1, keepdims=True),
+                    jnp.sum(a_new * wd4, axis=1, keepdims=True),
+                    jnp.sum(a_new * wav_row, axis=1, keepdims=True))
+            for j, s in enumerate(caps):
+                col = slice(CAP_COL0 + j, CAP_COL0 + j + 1)
+                av_out[:, col] = jnp.where(live, s, av_out[:, col])
 
         a_out[:] = a_new
         b_out[:] = b_new
@@ -193,14 +242,14 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
 
     n = meta_ref[0]
     n_by = n // np.int32(unroll)
-    carry = mu_of(xs_ref[np.int32(0), 0])
+    carry = mu_of(trig_of(np.int32(0))[0])
     carry = jax.lax.fori_loop(np.int32(0), n_by, body, carry)
     jax.lax.fori_loop(n_by * np.int32(unroll), n, do_step, carry)
 
 
 @functools.lru_cache(maxsize=None)
 def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret,
-               mesh=None, axis="sweep"):
+               mesh=None, axis="sweep", per_omega=False):
     """Module-level jitted advance for one stacked-sweep geometry: cached
     so same-shape refinement grids (slb2d-sweep read-from=stdin) share a
     compiled executable like the vmapped engine's _run_sweep — the
@@ -215,7 +264,8 @@ def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret,
     GR = G * NHP
     S = mesh.shape[axis] if mesh is not None else 1
     n_groups = Bp // G // S                   # per-device pallas grid
-    kernel = functools.partial(_kernel, unroll=unroll, edge_col=edge_col)
+    kernel = functools.partial(_kernel, unroll=unroll, edge_col=edge_col,
+                               per_omega=per_omega)
 
     def _blk(rows, lanes):
         return pl.BlockSpec((rows, lanes), lambda i: (i, 0),
@@ -261,7 +311,7 @@ def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret,
 
     @functools.partial(jax.jit, donate_argnums=0)
     def run(states: stencil.State, consts_dev, psel, xs_table,
-            sparams_arg, meta):
+            sparams_arg, meta, cap_arr=None):
         # (B, NHP, MP) batched -> (Bp*NHP, MP) stacked, pad by point 0
         def stack(x):
             return x[psel].reshape(Bp * NHP, MP)
@@ -278,6 +328,12 @@ def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret,
         av = jnp.zeros((Bp * NHP, 128), D)
         av = av.at[:, :AV_COLS].set(
             jnp.repeat(states.av[psel], NHP, axis=0))
+        if per_omega:
+            # resume the rolled loop-exit captures: points already past
+            # their t_end never update again, so the incoming values
+            # must seed the columns
+            av = av.at[:, CAP_COL0:CAP_COL0 + 4].set(
+                jnp.repeat(cap_arr[psel], NHP, axis=0))
 
         a0d, agd, ppd, ncold, rowmd = consts_dev
         outs = make_call(xs_table.shape[0])(
@@ -295,7 +351,7 @@ def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret,
             av_o[r0 + 1, 6], av_o[r0 + 1, 7]], axis=1)
         n = meta[0]
         t_next = xs_table[n - 1, 7] + D(dt)
-        return stencil.State(
+        out = stencil.State(
             a=unstack(a), b=unstack(b), a_hs=unstack(ahs),
             b_hs=unstack(bhs),
             hs_edge_a=edges_o[:, 0].reshape(Bp, NHP)[:B],
@@ -303,6 +359,13 @@ def _stack_run(B, Bp, G, NHP, MP, unroll, edge_col, dt, interpret,
             av=av_new,
             t=jnp.broadcast_to(t_next, (B,)),
             step=states.step + n)
+        if not per_omega:
+            return out
+        C0 = CAP_COL0
+        cap_new = jnp.stack([
+            av_o[r0 + 1, C0], av_o[r0, C0 + 1],
+            av_o[r0 + 1, C0 + 2], av_o[r0, C0 + 3]], axis=1)
+        return out, cap_new
 
     return run
 
@@ -323,9 +386,7 @@ class SweepStackRunner:
         D = base.np_dtype
         if D != np.float32:
             raise ValueError("sweep stack engine is float32-only")
-        if "omega" in sweep.params:
-            raise ValueError("sweep stack engine needs a shared omega "
-                             "(per-point trig tables are not stacked)")
+        self.per_omega = "omega" in sweep.params
         self.sweep = sweep
         self.base = base
         self.mesh, self.axis = mesh, axis
@@ -355,6 +416,8 @@ class SweepStackRunner:
             pp[rows, PP_B] = D(m.B)
             pp[rows, PP_BDT] = D(m.bdt)
             pp[rows, PP_EGATE] = D(1) if float(m.E_omega) > 0 else D(0)
+            pp[rows, PP_OMEGA] = D(m.omega)
+            pp[rows, PP_TEND] = D(D(base.cfg.t_start) + m.T)
         ncol1 = np.zeros((NHP, 128), D)
         ncol1[:, 0] = np.asarray(c0.n_float, D).ravel()
         ncol1[:, 1] = np.asarray(c0.n_ge2, D).ravel()
@@ -368,9 +431,15 @@ class SweepStackRunner:
         rowm[3] = np.asarray(c0.col_main, D).ravel()
         rowm[4] = np.asarray(c0.col_half, D).ravel()
         rowm[5] = np.asarray(c0.col_edge, D).ravel()
+        # display-4 instantaneous-capture weights (per-omega mode): the
+        # inline-sum bounds m=1..M-1 (src/boltzmann_c_solver.c:241)
+        rowm[6] = np.asarray(base.w_d4, D)
+        rowm[7] = np.asarray(base.w_d4_phi, D)
 
         sparams = np.zeros(16, D)
-        t_end = D(D(base.cfg.t_start) + base.T)
+        # xs do_av gate spans to the LONGEST point's window end; in
+        # per-omega mode each point's own end rides its PP_TEND column
+        t_end = max(D(D(base.cfg.t_start) + m.T) for m in models)
         for j, v in enumerate((base.dt, base.nu, base.nu2, base.nu_tilde,
                                base.omega, D(base.cfg.t_start), t_end)):
             sparams[j] = D(v)
@@ -394,7 +463,8 @@ class SweepStackRunner:
             self._psel = jax.device_put(pad_sel, repl)
         self._geom = (B, Bp, G, NHP, MP,
                       unroll or (8 if GR * MP >= 64 * 1024 else 1),
-                      base.M + 1, float(base.dt), interpret, mesh, axis)
+                      base.M + 1, float(base.dt), interpret, mesh, axis,
+                      self.per_omega)
         self._jit_run = _stack_run(*self._geom)
         self.sparams = sparams
         # prime the xs capacity at the full 512-step launch so every
@@ -416,10 +486,18 @@ class SweepStackRunner:
                                            done_steps,
                                            self.base.np_dtype)[-1])
 
-    def advance(self, states, n_steps):
+    def advance(self, states, n_steps, cap=None):
         """Advance the whole batch n_steps (chunked internally at the
-        SMEM xs capacity limit of 512 steps per launch)."""
+        SMEM xs capacity limit of 512 steps per launch).
+
+        per-omega mode additionally threads the rolled loop-exit capture:
+        cap is a dict of (B,) arrays over CAP_KEYS (zeros on a fresh
+        start) and the return value is (states, new_cap_dict); shared-
+        omega mode ignores cap and returns states alone."""
         D = self.base.np_dtype
+        if self.per_omega:
+            cap_arr = jnp.stack(
+                [jnp.asarray(cap[k], D) for k in CAP_KEYS], axis=1)
         done = 0
         while done < n_steps:
             k = min(512, n_steps - done)
@@ -440,10 +518,16 @@ class SweepStackRunner:
                     [xs, np.zeros((self._cap - k, XS_LANES), D)])
             meta = jnp.asarray(np.array([k, self.step0 % 2, 0, 0],
                                         np.int32))
-            states = self._jit_run(states, self._consts_dev, self._psel,
-                                   jnp.asarray(xs),
-                                   jnp.asarray(self.sparams), meta)
+            args = (states, self._consts_dev, self._psel, jnp.asarray(xs),
+                    jnp.asarray(self.sparams), meta)
+            if self.per_omega:
+                states, cap_arr = self._jit_run(*args, cap_arr)
+            else:
+                states = self._jit_run(*args)
             self.step0 += k
             self.t0 = float(D(t_last + D(self.base.dt)))
             done += k
+        if self.per_omega:
+            return states, {k2: cap_arr[:, j]
+                            for j, k2 in enumerate(CAP_KEYS)}
         return states

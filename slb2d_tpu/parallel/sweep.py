@@ -296,15 +296,15 @@ class ParameterSweep:
         if self.mesh is not None and self.space_axis is not None:
             advance, states, cap = self._spatial_advance(
                 weights, cap, states, unroll, capture_state)
-        elif self._use_stack_engine():
+        elif self._use_stack_engine(capture_state):
             # sublane-stacked VMEM-resident sweep megakernel
             # (ops/sweep_stack.py): the whole batch advances as point
             # groups resident in VMEM — ~10 HBM array passes/step of the
-            # vmapped scan become one read+write per chunk.  The capture
-            # semantics collapse to "post-step sums of the final state"
-            # because a shared omega means every point exits at the same
-            # step (the per-step rolling capture only matters when t_end
-            # varies).
+            # vmapped scan become one read+write per chunk.  With a
+            # shared omega every point exits at the same step, so the
+            # capture collapses to "post-step sums of the final state";
+            # with omega swept (per-point t_end) the kernel rolls the
+            # loop-exit capture per point and threads it through cap.
             from ..ops.sweep_stack import SweepStackRunner
             if self._stack_runner is None:
                 self._stack_runner = SweepStackRunner(
@@ -323,11 +323,15 @@ class ParameterSweep:
                 states = jax.tree.map(
                     lambda x: jax.device_put(np.asarray(x), shard),
                     states)
-            capj = self._capture_fn(weights, capture_state)
+            if runner.per_omega:
+                def advance(st, cp, k):
+                    return runner.advance(st, k, cap=cp)
+            else:
+                capj = self._capture_fn(weights, capture_state)
 
-            def advance(st, cp, k):
-                st = runner.advance(st, k)
-                return st, capj(st)
+                def advance(st, cp, k):
+                    st = runner.advance(st, k)
+                    return st, capj(st)
         else:
             consts = self.consts
             if self.mesh is not None:
@@ -370,17 +374,22 @@ class ParameterSweep:
                              self._fetch(cap.pop("b")))
         return self._finalize(states, cap)
 
-    def _use_stack_engine(self) -> bool:
-        """Eligibility for the stacked sweep megakernel: float32, shared
-        omega (one trig table / exit step), no SPACE sharding (a pure
-        "sweep" mesh is fine — points shard at stacked-row boundaries),
-        and one point inside the VMEM residency bound (beyond it even a
-        G=1 group cannot compile; the vmapped XLA engine streams HBM at
-        any size).  impl=pallas|stream forces it (interpret mode off-TPU,
+    def _use_stack_engine(self, capture_state=False) -> bool:
+        """Eligibility for the stacked sweep megakernel: float32, no
+        SPACE sharding (a pure "sweep" mesh is fine — points shard at
+        stacked-row boundaries), and one point inside the VMEM residency
+        bound (beyond it even a G=1 group cannot compile; the vmapped
+        XLA engine streams HBM at any size).  omega sweeps run in the
+        kernel's per-omega mode (in-kernel per-point trig + rolled
+        loop-exit capture) — EXCEPT with capture_state, whose per-point
+        (a, b) freeze at varying exit steps only the vmapped engine
+        rolls.  impl=pallas|stream forces it (interpret mode off-TPU,
         for tests); impl=auto takes it on TPU; impl=xla never."""
         if self.space_axis is not None:
             return False
-        if self.base.np_dtype != np.float32 or "omega" in self.params:
+        if self.base.np_dtype != np.float32:
+            return False
+        if capture_state and "omega" in self.params:
             return False
         impl = self.cfg.impl
         if impl == "xla":

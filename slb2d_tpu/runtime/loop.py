@@ -27,11 +27,13 @@ from . import schedule
 from .checkpoint import load_state, save_state
 
 
-def _mega_chunk_cap() -> int:
-    """Megakernel SMEM chunk limit, imported lazily (the stepper import
-    costs ~0.8 s and xla-engine configs never need it)."""
-    from ..ops.stepper_pallas import MAX_CHUNK_STEPS
-    return MAX_CHUNK_STEPS
+# Default schedule chunk for the pallas engines: both stage per-step xs
+# tables in HBM and scan >=1 kernel launches per dispatch, so one chunk =
+# one host RPC regardless of length.  64k steps bounds the staged tables
+# (64k x 10 f32 = 2.5 MB) and the megakernel's stacked obs buffers while
+# making a 16k-step tiny-shape run a single dispatch (measured 22.6 s of
+# pure tunnel RPC wall at 512-step chunks, docs/PERF.md).
+PALLAS_CHUNK_DEFAULT = 65536
 
 
 class NumericalInstability(RuntimeError):
@@ -321,17 +323,13 @@ class Simulation:
             E_omega=model.E_omega, display=cfg.display,
             frame_start=cfg.frame_start, T=model.T,
             dtype=model.np_dtype,
-            # megakernel: the per-step xs table lives in SMEM — chunks
-            # are capped at MAX_CHUNK_STEPS there even when the user sets
-            # steps-per-chunk higher (larger SMEM tables fail the Mosaic
-            # compile, measured on v5e); the stream engine's tables are
-            # per-launch (K, 10) SMEM slices of a regular HBM array, so
-            # full chunks are fine
-            chunk_max=(min(cfg.steps_per_chunk, _mega_chunk_cap())
-                       if self._engine == "mega" and cfg.steps_per_chunk
-                       else cfg.steps_per_chunk or
-                       (_mega_chunk_cap() if self._engine == "mega"
-                        else 4096)),
+            # pallas engines (mega + stream) stage per-step xs tables in
+            # HBM and scan the launches inside ONE dispatch per chunk, so
+            # big chunks cost one host RPC each; the XLA scan keeps the
+            # smaller default (its executables key on chunk length)
+            chunk_max=(cfg.steps_per_chunk
+                       or (PALLAS_CHUNK_DEFAULT if self.impl == "pallas"
+                           else 4096)),
             frame_time0=self.frame_time,
             last_tT_reminder0=self.last_rem,
             break_on_e77=not self._batched_emission())
@@ -346,19 +344,22 @@ class Simulation:
         seen = set()
         if self.impl == "pallas":
             # one Mosaic compile serves every (length, parity); prime the
-            # xs capacity to the schedule's largest chunk so warmup
-            # compiles exactly ONE kernel (a smaller first chunk would
-            # otherwise compile a throwaway smaller-capacity executable)
-            lengths = [ch.n_steps for ch in
-                       schedule.iter_chunks(**self._schedule_kwargs())]
-            if lengths:
-                self._pallas_runner().reserve(max(lengths))
+            # capacities (xs rows / launches / emission records) to the
+            # schedule's largest chunk so warmup compiles exactly ONE
+            # executable (a smaller first chunk would otherwise compile a
+            # throwaway smaller-capacity one)
+            chunks = list(schedule.iter_chunks(**self._schedule_kwargs()))
+            if chunks:
+                big = max(chunks, key=lambda ch: ch.n_steps)
+                self._pallas_runner().reserve(
+                    big.n_steps,
+                    max(len(ch.emit_idx) for ch in chunks))
         steps = self.steps_done
         for chunk in schedule.iter_chunks(**self._schedule_kwargs()):
             if self.impl == "pallas":
                 # constant after reserve(): every chunk pads to one
                 # capacity, so one dummy run warms everything
-                key = self._pallas_runner()._cap
+                key = self._pallas_runner().compile_key
             else:
                 key = chunk.n_steps
             parity = steps % 2
@@ -368,7 +369,8 @@ class Simulation:
             seen.add(key)
             st = jax.tree.map(jnp.array, self.state)   # donation fodder
             if self.impl == "pallas":
-                out = self._pallas_runner().run_xs(st, chunk.xs, parity)
+                out = self._pallas_runner().run_xs(st, chunk.xs, parity,
+                                                   emit_idx=chunk.emit_idx)
             else:
                 out, _ = self._runner(chunk.n_steps)(st, chunk.xs)
             np.asarray(out.t)   # barrier: compile + dummy run finished

@@ -201,18 +201,34 @@ def test_pallas_tpu_perf_smoke():
     assert ups >= 3e9, f"megakernel perf smoke: {ups:.3e} updates/s"
 
 
-def test_pallas_chunk_over_smem_cap_raises_eagerly():
-    """Chunks beyond MAX_CHUNK_STEPS fail the Mosaic compile with an SMEM
-    OOM on real hardware; the runner must reject them with an actionable
-    error instead (the driver never sends them — this protects direct
-    API users)."""
+def test_pallas_multi_launch_pipeline_matches_single_launches():
+    """Chunks beyond MAX_CHUNK_STEPS run as a lax.scan of 512-step SMEM
+    launches inside ONE dispatch (the device-resident chunk pipeline).
+    The pipelined result must equal the same steps issued as individual
+    <=512-step launches — including a non-multiple tail and av
+    accumulation — and subsequent small chunks must stay on the multi
+    executable (one compiled program per run)."""
     from slb2d_tpu.ops.stepper_pallas import MAX_CHUNK_STEPS
 
     cfg, model, c = build()
-    runner = make_pallas_runner(c, model)
-    with pytest.raises(ValueError, match="SMEM table limit"):
-        runner.reserve(MAX_CHUNK_STEPS + 1)
-    with pytest.raises(ValueError, match="SMEM table limit"):
-        runner(stencil.bootstrap_state(c, model), MAX_CHUNK_STEPS + 1)
-    out = runner(stencil.bootstrap_state(c, model), 64)   # still usable
-    assert np.all(np.isfinite(np.asarray(out.a)))
+    n = 2 * MAX_CHUNK_STEPS + 179          # two full launches + odd tail
+    # exact mode: xs tables chain bitwise across call boundaries (the
+    # sequential f32 t accumulation), so single vs multi is bit-equal
+    runner = make_pallas_runner(c, model, exact_trig=True)
+    out = runner(stencil.bootstrap_state(c, model), n)
+    assert runner._lcap >= 3
+    out = runner(out, 33)                  # small follow-up chunk
+    assert int(out.step) == n + 33
+
+    ref_runner = make_pallas_runner(c, model, exact_trig=True)
+    ref = stencil.bootstrap_state(c, model)
+    for k in (MAX_CHUNK_STEPS, MAX_CHUNK_STEPS, 179, 33):
+        ref = ref_runner(ref, k)
+
+    for f in ("a", "b", "a_hs", "b_hs", "av", "hs_edge_a", "hs_edge_b"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, f)), np.asarray(getattr(ref, f)),
+            err_msg=f)
+    np.testing.assert_allclose(float(out.t), float(ref.t), rtol=0, atol=0)
+    if hasattr(runner._jit_run_multi, "_cache_size"):
+        assert runner._jit_run_multi._cache_size() == 1

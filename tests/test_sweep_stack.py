@@ -166,10 +166,12 @@ def test_stack_engine_on_sweep_mesh():
 def test_stack_engine_eligibility():
     cfg = SimConfig(**CFG, impl="pallas")
     assert ParameterSweep(cfg, PARAMS)._use_stack_engine()
-    # omega swept -> shared-trig requirement fails -> vmapped XLA
+    # omega swept: eligible (per-omega kernel mode) — EXCEPT with
+    # capture_state, whose per-point (a,b) freeze stays vmapped-only
     sw = ParameterSweep(cfg, {"omega": np.array([9.0, 10.0])})
-    assert not sw._use_stack_engine()
-    res = sw.run()                       # falls back and still works
+    assert sw._use_stack_engine()
+    assert not sw._use_stack_engine(capture_state=True)
+    res = sw.run(capture_state=True)     # falls back and still works
     assert np.all(np.isfinite(np.asarray(res["norm"])))
     # f64 -> vmapped XLA
     cfg64 = SimConfig(**CFG, impl="pallas", dtype="f64")
@@ -177,6 +179,75 @@ def test_stack_engine_eligibility():
     # impl=xla never
     assert not ParameterSweep(SimConfig(**CFG, impl="xla"),
                               PARAMS)._use_stack_engine()
+
+
+OMEGA_PARAMS = {
+    # distinct periods T=2pi/omega -> per-point t_end and exit steps;
+    # point 2 is dc-only (egate) — the full per-omega gating matrix
+    "omega": np.array([8.0, 10.0, 12.0, 14.0, 10.0]),
+    "E_dc": np.linspace(0.4, 1.8, 5),
+    "E_omega": np.array([2.0, 2.0, 0.0, 1.5, 2.0]),
+}
+
+
+def test_stack_engine_omega_sweep_matches_xla():
+    """omega on the stacked engine (VERDICT r3 Missing #2): per-point
+    in-kernel trig, per-point averaging windows, and rolled loop-exit
+    captures must match the vmapped engine point for point."""
+    cfg = SimConfig(**CFG, impl="xla")
+    ref = ParameterSweep(cfg, OMEGA_PARAMS).run()
+    sw = ParameterSweep(SimConfig(**CFG, impl="pallas"), OMEGA_PARAMS)
+    assert sw._use_stack_engine()
+    from slb2d_tpu.ops.sweep_stack import SweepStackRunner
+    sw._stack_runner = SweepStackRunner(sw, g_points=2)  # 5 pts -> ragged
+    assert sw._stack_runner.per_omega
+    res = sw.run()
+    # per-point av counts must differ (different T) and match exactly
+    counts = np.asarray(ref["av_count"])
+    assert len(np.unique(counts[[0, 1, 3]])) == 3
+    np.testing.assert_array_equal(np.asarray(res["av_count"]), counts)
+    for k in OBS:
+        np.testing.assert_allclose(
+            np.asarray(res[k]), np.asarray(ref[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
+    # dc-only point: averages exactly zero
+    np.testing.assert_array_equal(np.asarray(res["v_dr_av"])[2], 0.0)
+
+
+def test_stack_engine_omega_sweep_checkpoint_resume(tmp_path):
+    """Mid-run checkpoint/resume in per-omega mode: the rolled captures
+    must survive the restart (points already past their t_end never
+    update again after resume)."""
+    sw_full = ParameterSweep(SimConfig(**CFG, impl="pallas"), OMEGA_PARAMS)
+    full = sw_full.run()
+    ck = str(tmp_path / "ck.npz")
+
+    class Stop(Exception):
+        pass
+
+    sw = ParameterSweep(SimConfig(**CFG, impl="pallas"), OMEGA_PARAMS)
+    orig = ParameterSweep._save_checkpoint
+
+    def save_once(self, path, states, cap, done):
+        orig(self, path, states, cap, done)
+        if done < self.n_steps:
+            raise Stop
+
+    ParameterSweep._save_checkpoint = save_once
+    try:
+        with pytest.raises(Stop):
+            # past the SHORTEST point's exit (~649 steps at omega=14,
+            # t_end = 0.2 + 2pi/14) but before the longest (~985)
+            sw.run(checkpoint=ck, checkpoint_every=700)
+    finally:
+        ParameterSweep._save_checkpoint = orig
+
+    sw2 = ParameterSweep(SimConfig(**CFG, impl="pallas"), OMEGA_PARAMS)
+    res = sw2.run(resume=ck)
+    for k in OBS:
+        np.testing.assert_allclose(
+            np.asarray(res[k]), np.asarray(full[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
 
 
 def test_stack_engine_vmem_point_gate():
