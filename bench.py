@@ -113,24 +113,42 @@ def bench_driver(impl: str, N=100, M=4000, t_start=10.0, exact_time=True,
     return updates / wall, wall, steps
 
 
-def bench_sweep_stack(B=64, N=40, M=500, K=6144):
+def _sweep_params(B, axis="E_dc"):
+    """The swept grid: E_dc (BASELINE #2) or omega (the per-omega kernel
+    mode — a primary absorption-map axis, VERDICT r3 Missing #2)."""
+    if axis == "omega":
+        return {"omega": np.linspace(0.8, 1.2, B)}
+    return {"E_dc": np.linspace(0.1, 3.0, B)}
+
+
+def bench_sweep_stack(B=64, N=40, M=500, K=6144, axis="E_dc"):
     """Sublane-stacked VMEM-resident sweep megakernel (ops/sweep_stack.py)
     at the BASELINE #2 shape, compile-excluded."""
     from slb2d_tpu.parallel.sweep import ParameterSweep
-    from slb2d_tpu.ops.sweep_stack import SweepStackRunner
+    from slb2d_tpu.ops.sweep_stack import SweepStackRunner, CAP_KEYS
 
     cfg = SimConfig(display=4, E_dc=1.0, E_omega=2.0, omega=1.0, mu=1.0,
                     alpha=0.9495, n_harmonics=N, phi_y_min=-10.0,
                     phi_y_max=10.0, B=0.1, t_start=0.1, g_grid=M, dt=1e-3,
                     impl="pallas")
-    sw = ParameterSweep(cfg, {"E_dc": np.linspace(0.1, 3.0, B)})
+    sw = ParameterSweep(cfg, _sweep_params(B, axis))
     runner = SweepStackRunner(sw)
+    D = sw.base.np_dtype
+    cap = {k: np.zeros(B, D) for k in CAP_KEYS}
+
+    def adv(states, k):
+        if runner.per_omega:
+            nonlocal cap
+            states, cap = runner.advance(states, k, cap=cap)
+            return states
+        return runner.advance(states, k)
+
     states = sw._initial_states()
-    states = runner.advance(states, 512)          # compile + warm
+    states = adv(states, 512)                     # compile + warm
     np.asarray(states.av)
     time.sleep(5)
     t0 = time.perf_counter()
-    states = runner.advance(states, K)
+    states = adv(states, K)
     # barrier: av is a tiny (B, 8) fetch that CHAINS through every
     # launch's kernel output (states.t is schedule-derived and would not
     # synchronize; fetching the full state would bill a multi-MB tunnel
@@ -162,16 +180,16 @@ def bench_sweep_pallas(B=64, N=40, M=500):
     return agg / wall, wall, sw.n_steps
 
 
-def bench_sweep(B=64, K=1000, reps=6, N=40, M=500):
+def bench_sweep(B=64, K=1000, reps=6, N=40, M=500, axis="E_dc"):
     """Aggregate sweep throughput (BASELINE #2 shape, vmapped XLA engine),
-    compile-excluded: a 64-point E_dc sweep advanced in timed chunks."""
+    compile-excluded: a 64-point sweep advanced in timed chunks."""
     from slb2d_tpu.parallel.sweep import ParameterSweep
     from slb2d_tpu.ops import stencil as _st
 
     cfg = SimConfig(display=4, E_dc=1.0, E_omega=2.0, omega=1.0, mu=1.0,
                     alpha=0.9495, n_harmonics=N, phi_y_min=-10.0,
                     phi_y_max=10.0, B=0.1, t_start=0.1, g_grid=M, dt=1e-3)
-    sw = ParameterSweep(cfg, {"E_dc": np.linspace(0.1, 3.0, B)})
+    sw = ParameterSweep(cfg, _sweep_params(B, axis))
     consts, in_axes = sw.consts, sw.in_axes
 
     def point_step(c, st):
@@ -241,16 +259,18 @@ def main():
         }))
         return
     if impl == "sweep":
+        # python bench.py sweep [xla|stack|pallas] [E_dc|omega]
         sub = sys.argv[2] if len(sys.argv) > 2 else "xla"
+        axis = sys.argv[3] if len(sys.argv) > 3 else "E_dc"
         if sub == "pallas":
             ups, wall, steps = bench_sweep_pallas()
         elif sub == "stack":
-            ups, wall, steps = bench_sweep_stack()
+            ups, wall, steps = bench_sweep_stack(axis=axis)
         else:
-            ups, wall, steps = bench_sweep()
+            ups, wall, steps = bench_sweep(axis=axis)
         print(json.dumps({
             "metric": ("aggregate sweep site-updates/sec "
-                       f"(64-point E_dc sweep, N=40 M=500, {sub})"),
+                       f"(64-point {axis} sweep, N=40 M=500, {sub})"),
             "value": round(ups),
             "unit": "updates/sec",
             "vs_baseline": round(ups / BASELINE, 3),

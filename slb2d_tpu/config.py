@@ -10,6 +10,7 @@ behavior.
 from __future__ import annotations
 
 import dataclasses
+import re
 import sys
 from typing import IO, Optional
 
@@ -252,31 +253,71 @@ def _set_leftovers(stream, toks: list):
         _repl_leftovers_fallback[id(stream)] = list(toks)
 
 
+# longest C-float prefix (fscanf %f / strtof class: decimal with optional
+# exponent, inf/infinity, nan).  Out-of-scope corners: hex floats and the
+# fscanf all-or-nothing behavior on dangling exponents ("1e+"), which the
+# reference parser would reject after consuming the prefix.
+_FLOAT_PREFIX_RE = re.compile(
+    r"[+-]?(?:(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?|inf(?:inity)?|nan)",
+    re.IGNORECASE)
+
+
 def scan_for_new_parameters(stream: IO[str]):
     """Read one parameter mutation from the interactive parameter server.
 
-    Protocol (reference: src/boltzmann_cli.c:71-91): whitespace-separated
-    tokens ``name value timeout``; the single token ``exit`` terminates.
+    fscanf-faithful emulation of the reference scanner
+    (src/boltzmann_cli.c:71-91, ``fscanf("%s %f %f")`` in a retry loop):
+
+    * ``exit`` terminates ONLY when the following ``%f`` fails (pcount==1
+      there) — ``exit 1.0 2.0`` parses as an unknown-name mutation and
+      the run continues;
+    * a failed ``%f`` consumes NOTHING: scanning resumes AT the failed
+      token (the reference drops only the name token, not the triple);
+    * a partially numeric token (``1.5x``) yields its numeric prefix and
+      the remainder re-enters the stream as the next token;
+    * unknown names parse fine and mutate nothing.
+
     Returns ``None`` on exit/EOF, else ``(name_or_None, value, timeout)``
-    where name is one of REPL_MUTABLE (unknown names are accepted but
-    mutate nothing, as in the reference).
+    with name in REPL_MUTABLE.  Deviation (docs/DEVIATIONS.md D14): at
+    EOF the reference fscanf loop spins forever; we treat EOF as exit.
     """
     toks = _get_leftovers(stream)
-    while True:
-        if toks and toks[0] == "exit":
-            _set_leftovers(stream, [])
+
+    def next_tok():
+        while not toks:
+            line = stream.readline()
+            if line == "":
+                return None
+            toks.extend(line.split())
+        return toks.pop(0)
+
+    def read_float():
+        """%f: value on success (pushing back any non-numeric remainder
+        of the token), None on failure (pushing the whole token back)."""
+        t = next_tok()
+        if t is None:
             return None
-        if len(toks) >= 3:
-            name, sval, stime = toks[0], toks[1], toks[2]
-            toks = toks[3:]
-            try:
-                value = float(sval)
-                timeout = float(stime)
-            except ValueError:
-                continue  # reference fscanf would keep scanning
-            _set_leftovers(stream, toks)
-            return (name if name in REPL_MUTABLE else None, value, timeout)
-        line = stream.readline()
-        if line == "":
-            return None  # EOF behaves like exit
-        toks.extend(line.split())
+        m = _FLOAT_PREFIX_RE.match(t)
+        if m is None:
+            toks.insert(0, t)
+            return None
+        if m.end() < len(t):
+            toks.insert(0, t[m.end():])
+        return float(m.group(0))
+
+    while True:
+        name = next_tok()
+        if name is None:
+            _set_leftovers(stream, [])
+            return None                       # EOF (D14)
+        value = read_float()
+        if value is None:                     # pcount == 1
+            if name == "exit":
+                _set_leftovers(stream, toks)
+                return None
+            continue
+        timeout = read_float()
+        if timeout is None:                   # pcount == 2
+            continue
+        _set_leftovers(stream, toks)
+        return (name if name in REPL_MUTABLE else None, value, timeout)

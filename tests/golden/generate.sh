@@ -62,10 +62,25 @@ cp frame00000012.data d7_frame12_f32.txt
 printf 'E_dc 1.5 0.5\nB 0.2 0.5\nmu 1.3 0.3\nomega 12.0 0.3\nexit\n' | \
   "$BIN/boltzmann_c_solver_f64" display=4 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.5 read-from=stdin o=repl_f64.txt >/dev/null 2>&1 || true
 
+# 7b. parameter-server FUZZ session (f64): the fscanf quirk matrix —
+# partial numeric prefixes (1.5x -> 1.5 + pushed-back "x"), failed %f
+# resuming AT the failed token, unknown names, and `exit value timeout`
+# parsing as a non-exiting unknown-name mutation (pcount==3 skips the
+# exit check, src/boltzmann_cli.c:76-79).  Must end with a bare exit:
+# the reference fscanf loop spins forever at EOF (docs/DEVIATIONS.md D14).
+printf 'E_dc 1.5x 0.40\nbogus 7 0.30\nB .25e0 0.35\nexit 0.9 0.30\nmu abc 1.1 0.25\nexit\n' | \
+  "$BIN/boltzmann_c_solver_f64" display=4 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.5 read-from=stdin o=repl_fuzz_f64.txt >/dev/null 2>&1 || true
+
+# 7c. parameter-server under display=77 (f64, patched-d77 oracle build —
+# the full-column D1/D2 fixes): time-series lines continuing across one
+# mutation round
+printf 'E_dc 1.6 0.2\nexit\n' | \
+  "$BIN/boltzmann_c_solver_f64_d77" display=77 $OMEGA10 n-harmonics=8 g-grid=24 t-max=0.3 read-from=stdin o=repl_d77_f64.txt >/dev/null 2>&1 || true
+
 gzip -nf d3_tiny_f64.txt d7_frame1_f64.txt d7_frame2_f64.txt
 gzip -nf d7_frame1_f32.txt d7_frame12_f32.txt
 gzip -nf d77_tiny_f64.txt d77_tiny_f64_fixed.txt
-gzip -nf d77_tiny_f32_fixed.txt d3_tiny_f32.txt
-cp d4_*.txt repl_f64.txt *.gz "$HERE/"
+gzip -nf d77_tiny_f32_fixed.txt d3_tiny_f32.txt repl_d77_f64.txt
+cp d4_*.txt repl_f64.txt repl_fuzz_f64.txt *.gz "$HERE/"
 cd /; rm -rf "$WORK"
 echo "golden fixtures written to $HERE"

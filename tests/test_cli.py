@@ -116,3 +116,43 @@ def test_cli_parse_stops_at_first_bare_token():
     cfg = cfgmod.parse_cmd(["display=4", *ARGS, "no-such-key=5",
                             "E_dc=7.5"])
     assert cfg.E_dc == 7.5             # unknown key skipped, later wins
+
+
+def test_repl_scanner_fscanf_semantics():
+    """scan_for_new_parameters is an fscanf("%s %f %f") emulation
+    (src/boltzmann_cli.c:71-91) — the quirk matrix, unit level (the
+    end-to-end sessions are pinned against the reference binary in
+    tests/test_golden.py)."""
+    import io
+
+    from slb2d_tpu.config import scan_for_new_parameters as scan
+
+    # exit with a full triple does NOT exit (pcount==3 skips the check)
+    s = io.StringIO("exit 0.9 0.30\nexit\n")
+    assert scan(s) == (None, 0.9, 0.30)
+    assert scan(s) is None
+
+    # partial numeric prefix + one-token failure resume: E_dc consumed,
+    # 1.5 parsed, "x" pushed back; %f("x") fails (pcount 2); retry:
+    # name="x", value=0.40, %f("bogus") fails (pcount 2); retry:
+    # name="bogus", 7, 0.25 -> unknown-name mutation (verified against
+    # the reference binary in the golden 7b fixture)
+    s = io.StringIO("E_dc 1.5x 0.40 bogus 7 0.25\nexit\n")
+    assert scan(s) == (None, 7.0, 0.25)
+    assert scan(s) is None                   # bare exit
+
+    # known-name mutation with .25e0-style floats and multi-line triples
+    s = io.StringIO("B\n.25e0\n0.35\nmu 1.3 0.2 exit\n")
+    assert scan(s) == ("B", 0.25, 0.35)
+    assert scan(s) == ("mu", 1.3, 0.2)
+    assert scan(s) is None                   # leftover "exit" then EOF
+
+    # EOF mid-triplet: deviation D14 (the reference fscanf loop would
+    # spin forever; we treat EOF as exit)
+    s = io.StringIO("E_dc 1.5")
+    assert scan(s) is None
+
+    # inf/nan parse like C floats
+    s = io.StringIO("E_dc inf 0.1\nexit\n")
+    name, v, t = scan(s)
+    assert name == "E_dc" and np.isinf(v) and t == 0.1

@@ -230,6 +230,48 @@ def test_display7_frames_vs_reference(tmp_path, monkeypatch):
                                            rtol=1e-8, atol=1e-14)
 
 
+def test_repl_fuzz_session_vs_reference(tmp_path, monkeypatch):
+    """Parameter-server FUZZ session against the recorded reference run
+    (golden 7b): partial numeric prefixes, failed-%f one-token resume,
+    unknown names, and `exit value timeout` NOT exiting.  The reference
+    binary produced 5 display-4 rounds from this script — the parser must
+    reproduce the identical round structure and headers."""
+    gold_text = read_gold("repl_fuzz_f64.txt")
+    mine_text = run_sim(
+        tmp_path, monkeypatch, display=4, dtype="f64",
+        n_harmonics=8, g_grid=24, t_start=0.5, omega=10.0,
+        read_from="stdin",
+        repl_input="E_dc 1.5x 0.40\nbogus 7 0.30\nB .25e0 0.35\n"
+                   "exit 0.9 0.30\nmu abc 1.1 0.25\nexit\n")
+    gold, mine = d4_values(gold_text), d4_values(mine_text)
+    assert len(gold) == len(mine) == 5
+    for g, m in zip(gold, mine):
+        np.testing.assert_allclose(m, g, rtol=1e-8, atol=1e-12)
+    gh = [l for l in gold_text.splitlines() if l.startswith("# display=")]
+    mh = [l for l in mine_text.splitlines() if l.startswith("# display=")]
+    assert gh == mh
+
+
+def test_repl_display77_vs_patched_reference(tmp_path, monkeypatch):
+    """Display-77 time series interleaved with a parameter-server
+    mutation round (golden 7c, D1/D2-patched oracle): all 15 columns of
+    every line across both rounds."""
+    gold = [l for l in read_gold("repl_d77_f64.txt.gz").splitlines()
+            if l and not l.startswith("#")]
+    mine = [l for l in run_sim(tmp_path, monkeypatch, display=77,
+                               dtype="f64", omega=10.0, n_harmonics=8,
+                               g_grid=24, t_start=0.3,
+                               read_from="stdin",
+                               repl_input="E_dc 1.6 0.2\nexit\n")
+                               .splitlines()
+            if l and not l.startswith("#")]
+    assert len(gold) == len(mine) > 100
+    for g, m in zip(gold, mine):
+        gp, mp = np.array(g.split(), float), np.array(m.split(), float)
+        assert gp.shape == mp.shape == (15,)
+        np.testing.assert_allclose(mp, gp, rtol=5e-9, atol=1e-12)
+
+
 def test_parameter_server_session_vs_reference(tmp_path, monkeypatch):
     """Live parameter mutations (E_dc, B, mu, then omega — the last locks
     the GPU driver's T-recompute-from-new-omega semantics) must continue
