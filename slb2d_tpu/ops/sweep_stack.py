@@ -26,13 +26,20 @@ point for v_y, row 1 for v_dr/m_x/quadratures) are read out — per-point
 E_omega>0 gating (reference src/boltzmann_c_solver.c:188) is an `egate`
 column.
 
-Constraints: omega, dt, t-max are shared across points (one trig/xs
-table and one averaging window), and one point must fit the VMEM
-residency bound (fits_vmem_point).  ParameterSweep falls back to the
-vmapped XLA engine when omega is swept, when a point is too large, or
-when the mesh has a "space" axis; a pure "sweep" mesh is supported —
-the stacked rows shard at point-group boundaries (SweepStackRunner
-(mesh=..., axis=...), shard_map over the sweep axis).
+omega sweeps run in the kernel's per-omega mode (round 4): trig comes
+from per-point angle-addition chains resynced every TRIG_RESYNC steps
+(device_trig's f32 class), each point's averaging window ends at its own
+t_end (PP_TEND), and the display-4 loop-exit capture fires in-kernel at
+each point's true exit step — so omega, a primary absorption-map axis,
+stays on the fast engine.
+
+Constraints: dt and t_start are shared across points (one t/xs table),
+and one point must fit the VMEM residency bound (fits_vmem_point).
+ParameterSweep falls back to the vmapped XLA engine when a point is too
+large, when the mesh has a "space" axis, or for capture_state (frames)
+with omega swept; a pure "sweep" mesh is supported — the stacked rows
+shard at point-group boundaries (SweepStackRunner(mesh=..., axis=...),
+shard_map over the sweep axis).
 """
 
 from __future__ import annotations
@@ -49,8 +56,17 @@ from . import stencil
 from .stepper_pallas import (XS_LANES, _pl_shift, build_xs_table,
                              capacity_rows)
 
-# pparams columns (OMEGA/TEND feed the per-point-omega mode)
-PP_EDC, PP_EOM, PP_B, PP_BDT, PP_EGATE, PP_OMEGA, PP_TEND = range(7)
+# pparams columns (OMEGA..SDT feed the per-point-omega mode; CDT/SDT are
+# cos/sin(omega*dt) — the angle-addition increments of the trig chains)
+(PP_EDC, PP_EOM, PP_B, PP_BDT, PP_EGATE, PP_OMEGA, PP_TEND,
+ PP_CDT, PP_SDT) = range(9)
+
+# per-omega trig chains re-evaluate exactly every RESYNC steps, bounding
+# the angle-addition drift at ~2*RESYNC ulp (~8e-6 relative) — measured
+# necessity: 4-5 per-step column transcendentals on (G*NHP, 1) cost the
+# engine its whole lead over the vmapped scan (2.10e10 vs the 3.16e10
+# single-transcendental probe at BASELINE #2)
+TRIG_RESYNC = 32
 # av columns: count, <v_dr>, <v_y>, <m_x>, A, Asin, Kahan(A), Kahan(Asin)
 AV_COLS = 8
 # per-point-omega mode: 4 more av-table columns roll the loop-exit
@@ -133,24 +149,43 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
         return nf * ((consts.E_dc + consts.E_omega * cos_v
                       + consts.B * phi_row) * dt / 2)
 
-    def trig_of(i):
-        """(cos_t, cos_t_dt, cos_hs, cos_hs_dt, cos_av, sin_av): SMEM
-        scalars in shared-omega mode; per-point (rows, 1) columns from
-        in-kernel f32 trig in per-omega mode (stencil.device_trig
-        formulas — f32 products, f32 cos — so the vmapped engine and this
-        one evaluate the same expressions)."""
-        if not per_omega:
-            return (xs_ref[i, 0], xs_ref[i, 1], xs_ref[i, 2],
-                    xs_ref[i, 3], xs_ref[i, 4], xs_ref[i, 5])
+    def exact_chains(i):
+        """Per-point (rows, 1) trig columns at step i, evaluated from
+        scratch (stencil.device_trig's formula class: f32 products, f32
+        cos/sin — the vmapped engine's fast path)."""
         t = xs_ref[i, 7]
         t_hs = t + dt / 2
-        cos_t = jnp.cos(om_col * t)
-        return (cos_t, jnp.cos(om_col * (t + dt)),
-                jnp.cos(om_col * t_hs), jnp.cos(om_col * (t_hs + dt)),
-                cos_t, jnp.sin(om_col * t))
+        return (jnp.cos(om_col * t), jnp.sin(om_col * t),
+                jnp.cos(om_col * t_hs), jnp.sin(om_col * t_hs))
 
-    def do_step(i, mu_main):
-        cos_t, cos_t_dt, cos_hs, cos_hs_dt, cos_av, sin_av = trig_of(i)
+    def do_step(i, carry):
+        if per_omega:
+            # per-point trig by angle-addition recurrence: column
+            # transcendentals are ~30 vector ops each and 5/step erased
+            # the engine's advantage (module constant note); the chains
+            # advance by cos/sin(omega*dt) (PP_CDT/PP_SDT) at 12 cheap
+            # column ops per step.  The chains arrive valid in the carry
+            # — the loop structure below re-evaluates them exactly at
+            # every TRIG_RESYNC-step block boundary (no in-step cond:
+            # a lax.cond per unrolled step blew up the Mosaic compile,
+            # >20 min vs ~2 min without)
+            mu_main, ct, st, chs, shs = carry
+            cdt = pp_ref[:, 7:8]
+            sdt = pp_ref[:, 8:9]
+            cos_t, sin_av, cos_hs = ct, st, chs
+            cos_av = ct
+            cos_t_dt = ct * cdt - st * sdt
+            sin_t_dt = st * cdt + ct * sdt
+            cos_hs_dt = chs * cdt - shs * sdt
+            sin_hs_dt = shs * cdt + chs * sdt
+        else:
+            mu_main = carry
+            cos_t = xs_ref[i, 0]
+            cos_t_dt = xs_ref[i, 1]
+            cos_hs = xs_ref[i, 2]
+            cos_hs_dt = xs_ref[i, 3]
+            cos_av = xs_ref[i, 4]
+            sin_av = xs_ref[i, 5]
         do_av = xs_ref[i, 6] > 0
         t_i = xs_ref[i, 7]
 
@@ -210,19 +245,30 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
             av_out[:, 0:1] = cnt
 
         if per_omega:
-            # loop-exit capture (vmapped _make_point_step): the last step
-            # with PRE-step t < t_end overwrites; rows compute their own
-            # row-sum, rows 0/1 of each point are read out
-            live = t_i < tend_col
-            wd4 = rowm_ref[6:7, :]
-            wd4p = rowm_ref[7:8, :]
-            caps = (jnp.sum(b_new * wd4, axis=1, keepdims=True),
-                    jnp.sum(a_new * wd4p, axis=1, keepdims=True),
-                    jnp.sum(a_new * wd4, axis=1, keepdims=True),
-                    jnp.sum(a_new * wav_row, axis=1, keepdims=True))
-            for j, s in enumerate(caps):
-                col = slice(CAP_COL0 + j, CAP_COL0 + j + 1)
-                av_out[:, col] = jnp.where(live, s, av_out[:, col])
+            # loop-exit capture (vmapped _make_point_step semantics: the
+            # last step with PRE-step t < t_end wins).  The vmapped
+            # engine rolls the capture every live step; here the winning
+            # step is identified exactly IN-KERNEL — the f32 t_i + dt
+            # equals the schedule's next-step t bitwise (sequential
+            # accumulation), so `live & (t_i + dt >= t_end)` fires
+            # exactly once per point, at its true exit step — and the 4
+            # extra row-sum passes run on ~G steps per chunk instead of
+            # every step (measured: ungated capture cost the engine its
+            # whole lead over the vmapped scan, 1.93e10 vs 2.11e10 agg)
+            last_live = (t_i < tend_col) & (t_i + dt >= tend_col)
+
+            @pl.when(jnp.any(last_live))
+            def _():
+                wd4 = rowm_ref[6:7, :]
+                wd4p = rowm_ref[7:8, :]
+                caps = (jnp.sum(b_new * wd4, axis=1, keepdims=True),
+                        jnp.sum(a_new * wd4p, axis=1, keepdims=True),
+                        jnp.sum(a_new * wd4, axis=1, keepdims=True),
+                        jnp.sum(a_new * wav_row, axis=1, keepdims=True))
+                for j, s in enumerate(caps):
+                    col = slice(CAP_COL0 + j, CAP_COL0 + j + 1)
+                    av_out[:, col] = jnp.where(last_live, s,
+                                               av_out[:, col])
 
         a_out[:] = a_new
         b_out[:] = b_new
@@ -232,19 +278,51 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
         bhs_out[:, ME:ME + 1] = old_edge_b
         edges_out[:, 0:1] = new_edge_a
         edges_out[:, 1:2] = new_edge_b
+        if per_omega:
+            return (mu1_main, cos_t_dt, sin_t_dt, cos_hs_dt, sin_hs_dt)
         return mu1_main
 
-    def body(j, carry):
-        i = j * np.int32(unroll)
-        for k in range(unroll):
-            carry = do_step(i + np.int32(k), carry)
-        return carry
-
     n = meta_ref[0]
-    n_by = n // np.int32(unroll)
-    carry = mu_of(trig_of(np.int32(0))[0])
-    carry = jax.lax.fori_loop(np.int32(0), n_by, body, carry)
-    jax.lax.fori_loop(n_by * np.int32(unroll), n, do_step, carry)
+    if per_omega:
+        # resync-block loop: RB steps per block (RB = TRIG_RESYNC rounded
+        # down to a multiple of unroll), exact chain re-evaluation at
+        # each block start, pure recurrence inside — zero conditionals
+        RB = unroll * max(1, TRIG_RESYNC // unroll)
+
+        def body_rb(b, carry):
+            i0 = b * np.int32(RB)
+            c = (carry[0],) + exact_chains(i0)
+
+            def body8(j, c):
+                i = i0 + j * np.int32(unroll)
+                for k in range(unroll):
+                    c = do_step(i + np.int32(k), c)
+                return c
+
+            return jax.lax.fori_loop(np.int32(0),
+                                     np.int32(RB // unroll), body8, c)
+
+        ct0, st0, chs0, shs0 = exact_chains(np.int32(0))
+        carry = (mu_of(ct0), ct0, st0, chs0, shs0)
+        n_rb = n // np.int32(RB)
+        carry = jax.lax.fori_loop(np.int32(0), n_rb, body_rb, carry)
+        # tail (< RB steps): one exact re-evaluation, then per-step.
+        # Padded xs rows past n are zeros — reading t there is safe
+        # (the tail loop body never executes for them).
+        i0t = n_rb * np.int32(RB)
+        carry = (carry[0],) + exact_chains(i0t)
+        jax.lax.fori_loop(i0t, n, do_step, carry)
+    else:
+        def body(j, carry):
+            i = j * np.int32(unroll)
+            for k in range(unroll):
+                carry = do_step(i + np.int32(k), carry)
+            return carry
+
+        n_by = n // np.int32(unroll)
+        carry = mu_of(xs_ref[np.int32(0), 0])
+        carry = jax.lax.fori_loop(np.int32(0), n_by, body, carry)
+        jax.lax.fori_loop(n_by * np.int32(unroll), n, do_step, carry)
 
 
 @functools.lru_cache(maxsize=None)
@@ -418,6 +496,11 @@ class SweepStackRunner:
             pp[rows, PP_EGATE] = D(1) if float(m.E_omega) > 0 else D(0)
             pp[rows, PP_OMEGA] = D(m.omega)
             pp[rows, PP_TEND] = D(D(base.cfg.t_start) + m.T)
+            # angle-addition increments for the per-omega trig chains
+            pp[rows, PP_CDT] = D(np.cos(np.float64(m.omega)
+                                        * np.float64(base.dt)))
+            pp[rows, PP_SDT] = D(np.sin(np.float64(m.omega)
+                                        * np.float64(base.dt)))
         ncol1 = np.zeros((NHP, 128), D)
         ncol1[:, 0] = np.asarray(c0.n_float, D).ravel()
         ncol1[:, 1] = np.asarray(c0.n_ge2, D).ravel()
