@@ -27,6 +27,15 @@ def test_bench_build_and_run_pallas_interpret():
     assert np.all(np.isfinite(np.asarray(state.a)))
 
 
+def test_bench_sweep_stack_axes():
+    # both sweep axes exercise the stacked megakernel bench path; omega
+    # takes the per-omega mode (recurrence trig chains, rolled captures)
+    for axis in ("E_dc", "omega"):
+        ups, wall, steps = bench.bench_sweep_stack(B=4, N=6, M=32, K=64,
+                                                   axis=axis)
+        assert steps == 64 and ups > 0 and wall > 0
+
+
 def test_bench_driver_metric(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     ups, wall, steps = bench.bench_driver("xla", N=6, M=24, t_start=0.05)
