@@ -307,10 +307,14 @@ def _kernel(meta_ref, xs_ref, sparams_ref,
         n_rb = n // np.int32(RB)
         carry = jax.lax.fori_loop(np.int32(0), n_rb, body_rb, carry)
         # tail (< RB steps): one exact re-evaluation, then per-step.
-        # Padded xs rows past n are zeros — reading t there is safe
-        # (the tail loop body never executes for them).
+        # When RB divides n the tail is empty and i0t == n — which can
+        # equal the padded table capacity (capacity_rows is a 256
+        # quantum), so clamp the re-eval index into the table; the
+        # chains are unused then (the tail loop never executes).
         i0t = n_rb * np.int32(RB)
-        carry = (carry[0],) + exact_chains(i0t)
+        i0t_safe = jnp.maximum(jnp.minimum(i0t, n - np.int32(1)),
+                               np.int32(0))
+        carry = (carry[0],) + exact_chains(i0t_safe)
         jax.lax.fori_loop(i0t, n, do_step, carry)
     else:
         def body(j, carry):
