@@ -250,6 +250,38 @@ def test_stack_engine_omega_sweep_checkpoint_resume(tmp_path):
             rtol=2e-4, atol=2e-5, err_msg=k)
 
 
+def test_stack_engine_omega_sweep_on_mesh():
+    """Per-omega mode sharded over a "sweep" mesh: the per-point trig /
+    exit-step / averaging-window columns must shard at point boundaries
+    exactly like the state rows (the dryrun checks this path is finite;
+    here it is value-pinned against the meshless per-omega run and the
+    vmapped engine)."""
+    from slb2d_tpu.parallel.mesh import make_mesh
+
+    # 6 points pad to a multiple of 2 devices x G groups
+    params = {"omega": np.array([8.0, 10.0, 12.0, 14.0, 10.0, 9.0]),
+              "E_dc": np.linspace(0.4, 1.8, 6),
+              "E_omega": np.array([2.0, 2.0, 0.0, 1.5, 2.0, 2.0])}
+    mesh = make_mesh((2,), ("sweep",))
+    sw = ParameterSweep(SimConfig(**CFG, impl="pallas"), params, mesh=mesh)
+    assert sw._use_stack_engine()
+    res = sw.run()
+    assert sw._stack_runner.per_omega
+
+    sw_m = ParameterSweep(SimConfig(**CFG, impl="pallas"), params)
+    ref_m = sw_m.run()                                 # meshless stacked
+    ref_x = ParameterSweep(SimConfig(**CFG, impl="xla"), params).run()
+    np.testing.assert_array_equal(np.asarray(res["av_count"]),
+                                  np.asarray(ref_x["av_count"]))
+    for k in OBS:
+        np.testing.assert_allclose(np.asarray(res[k]),
+                                   np.asarray(ref_m[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+        np.testing.assert_allclose(np.asarray(res[k]),
+                                   np.asarray(ref_x[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
 def test_stack_engine_vmem_point_gate():
     """A single point beyond the VMEM residency bound (even G=1 cannot
     compile) falls back to the vmapped XLA engine — with a warning when
