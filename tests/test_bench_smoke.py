@@ -6,6 +6,10 @@ CPU shapes so an API drift in the package cannot silently break the
 round-end benchmark run.
 """
 
+import json
+import os
+import time
+
 import numpy as np
 
 import bench
@@ -34,6 +38,40 @@ def test_bench_sweep_stack_axes():
         ups, wall, steps = bench.bench_sweep_stack(B=4, N=6, M=32, K=64,
                                                    axis=axis)
         assert steps == 64 and ups > 0 and wall > 0
+
+
+def test_probe_backend_cpu_success():
+    # force the subprocess onto the CPU backend (strip the axon plugin)
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ""}
+    platform, err = bench.probe_backend(deadline=120, env=env)
+    assert err is None
+    assert platform == "cpu"
+
+
+def test_probe_backend_failure_is_bounded_and_reasoned():
+    env = {**os.environ, "JAX_PLATFORMS": "no_such_backend",
+           "PYTHONPATH": ""}
+    t0 = time.perf_counter()
+    platform, err = bench.probe_backend(deadline=120, env=env)
+    assert platform is None
+    assert err and "no_such_backend" in err
+    assert time.perf_counter() - t0 < 60       # fails fast, not at deadline
+
+
+def test_emit_error_is_one_parseable_json_line(capsys):
+    bench.emit_error("tunnel down")
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["error"] == "tunnel down"
+    assert rec["value"] is None and "metric" in rec
+
+
+def test_backend_error_classifier():
+    assert bench._is_backend_error(
+        RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE"))
+    assert not bench._is_backend_error(ValueError("bad shape"))
 
 
 def test_bench_driver_metric(monkeypatch):
