@@ -474,16 +474,30 @@ class Simulation:
                                 finish, chunk.t_last)
 
     def _progress(self, chunk):
-        # reference: `\rt=... %` every 300 steps (:206-213)
+        # reference: `\rt=... %` every 300 steps
+        # (src/boltzmann_c_solver.c:206-213).  Chunks can span many meter
+        # periods (the pallas default is 64k steps), so the exact byte
+        # stream is backfilled after each chunk from the schedule's
+        # per-step t values: one line per 300-step boundary crossed, each
+        # printing the loop t of the step that completed the period —
+        # bit-identical t (and bytes) to the C meter, emitted in
+        # per-chunk bursts (docs/DEVIATIONS.md D13).
         if self.quiet or self.out is sys.stdout or self.cfg.display == 7:
             return
-        self._steps_since_progress += chunk.n_steps
-        if self._steps_since_progress >= 300:
-            t = chunk.t_last
-            pct = t / self.t_max * 100 if self.t_max else 0.0
-            sys.stdout.write(f"\rt={t:0.9f} {pct:0.2f}%")
-            sys.stdout.flush()
-            self._steps_since_progress = 0
+        prev = self._steps_since_progress
+        total = prev + chunk.n_steps
+        self._steps_since_progress = total % 300
+        if total < 300:
+            return
+        ts = chunk.xs["t"]
+        t_max = self.t_max
+        lines = []
+        for k in range(299 - prev, chunk.n_steps, 300):
+            t = float(ts[k])
+            pct = t / t_max * 100 if t_max else 0.0
+            lines.append(f"\rt={t:0.9f} {pct:0.2f}%")
+        sys.stdout.write("".join(lines))
+        sys.stdout.flush()
 
     _io_pool = None
     _io_futures: list = []

@@ -359,3 +359,28 @@ def test_auto_impl_vmem_bound():
     # 104x12032 measured OOM on v5e (113.39 MB vs the 100 MB limit)
     assert not fits_vmem(104, 12032)
     assert not fits_vmem(104, 32128)       # M~32000 -> stream engine
+
+
+def test_progress_meter_cadence_matches_c(tmp_path, monkeypatch, capsys):
+    """The `\rt=... %` meter fires every 300 steps with the loop t of the
+    step that completed the period (src/boltzmann_c_solver.c:206-213),
+    regardless of chunking: chunks spanning many periods backfill all
+    lines; a 250-step chunk (not a multiple of 300) exercises counter
+    carry across chunk boundaries."""
+    import re
+
+    monkeypatch.chdir(tmp_path)
+    cfg = SimConfig(**{**BASE, "quiet": False, "out_file": "o.txt",
+                       "steps_per_chunk": 250})
+    sim = Simulation(cfg)
+    sim.run()
+    out = capsys.readouterr().out
+    meter = re.findall(r"\rt=\d+\.\d{9} \d+\.\d{2}%", out)
+
+    n = schedule.count_steps(0.0, sim.t_max, cfg.dt)
+    ts = schedule.accum_sequence(0.0, cfg.dt, n)
+    expected = [f"\rt={float(ts[k]):0.9f} "
+                f"{float(ts[k]) / sim.t_max * 100:0.2f}%"
+                for k in range(299, n, 300)]
+    assert n > 900            # the config crosses several meter periods
+    assert meter == expected
