@@ -298,3 +298,40 @@ def test_stack_engine_vmem_point_gate():
     with _w.catch_warnings():
         _w.simplefilter("error")
         assert not sw._use_stack_engine()
+
+
+def test_stack_engine_per_omega_paper_point_shape():
+    """The TRIG_RESYNC=32 drift bound at the advertised absorption-map
+    workload shape (examples/absorption_map.py paper: N=40, M=500,
+    omega in [6, 14]): the full paper omega axis (16 points — the axis
+    the angle-addition recurrence drifts along) x 4 E_dc values, on a
+    2-device sweep mesh, one drive period per point (~1100 steps, ~34
+    resync blocks).  The full 16x16 grid at the same point shape was
+    measured once off-suite with identical tolerances (docs/PERF.md
+    "Per-omega drift at paper scale"); only the E_dc multiplicity — drift
+    -irrelevant — is reduced here to keep suite wall time bounded."""
+    from slb2d_tpu.parallel.mesh import make_mesh
+
+    base = dict(display=4, E_dc=0.0, E_omega=1.5, omega=1.0, mu=1.0,
+                alpha=0.9495, n_harmonics=40, phi_y_min=-10.0,
+                phi_y_max=10.0, B=0.1, t_start=0.05, g_grid=500, dt=1e-3,
+                quiet=True)
+    e_dc = np.linspace(0.0, 3.0, 4)
+    omega = np.linspace(6.0, 14.0, 16)
+    E, W = np.meshgrid(e_dc, omega, indexing="ij")
+    params = {"E_dc": E.ravel(), "omega": W.ravel()}
+
+    mesh = make_mesh((2,), ("sweep",))
+    sw = ParameterSweep(SimConfig(**base, impl="pallas"), params,
+                        mesh=mesh)
+    assert sw._use_stack_engine()
+    res = sw.run()
+    assert sw._stack_runner.per_omega
+
+    ref = ParameterSweep(SimConfig(**base, impl="xla"), params).run()
+    np.testing.assert_array_equal(np.asarray(res["av_count"]),
+                                  np.asarray(ref["av_count"]))
+    for k in OBS:
+        np.testing.assert_allclose(
+            np.asarray(res[k]), np.asarray(ref[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
