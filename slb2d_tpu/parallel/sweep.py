@@ -29,6 +29,14 @@ from ..runtime.schedule import count_steps
 
 SWEEPABLE = ("E_dc", "E_omega", "omega", "mu", "alpha", "B")
 
+# impl=auto routing of omega sweeps to the stacked kernel's per-omega
+# mode: OFF until the angle-addition recurrence kernel measures at or
+# above the vmapped engine on chip (docs/PERF.md "Per-omega stacked
+# sweeps"; VERDICT r4 next #1).  E_dc/E_omega/mu/alpha/B-only sweeps are
+# unaffected (the non-per-omega stacked kernel measured 3.21e10 vs
+# vmapped 2.09e10).
+PER_OMEGA_AUTO = False
+
 
 def _make_point_step(weights, shift=None, sum_m=None,
                      capture_state=False):
@@ -406,6 +414,16 @@ class ParameterSweep:
             return False
         if impl in ("pallas", "stream"):
             return True
+        if "omega" in self.params and not PER_OMEGA_AUTO:
+            # per-omega mode is correctness-complete but not yet a
+            # measured chip win: every measured trig strategy sat at or
+            # below the vmapped engine (5-transcendental 1.93-2.10e10 vs
+            # vmapped 2.11e10 aggregate; docs/PERF.md "Per-omega stacked
+            # sweeps"), and the angle-addition recurrence kernel has no
+            # chip number yet.  impl=auto therefore keeps omega sweeps on
+            # the vmapped engine until a measurement flips PER_OMEGA_AUTO;
+            # explicit impl=pallas|stream still forces the stacked kernel.
+            return False
         return jax.default_backend() == "tpu"
 
     def _capture_fn(self, weights, capture_state):

@@ -335,3 +335,24 @@ def test_stack_engine_per_omega_paper_point_shape():
         np.testing.assert_allclose(
             np.asarray(res[k]), np.asarray(ref[k]),
             rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_stack_engine_per_omega_auto_gate(monkeypatch):
+    """impl=auto keeps omega sweeps on the vmapped engine until the
+    per-omega kernel has a measured chip win (PER_OMEGA_AUTO flips it;
+    docs/PERF.md "Per-omega stacked sweeps").  Non-omega sweeps stay on
+    the stacked kernel; explicit impl=pallas still forces per-omega."""
+    import slb2d_tpu.parallel.sweep as swmod
+
+    cfg = SimConfig(**CFG, impl="auto")
+    sw_edc = ParameterSweep(cfg, PARAMS)
+    sw_om = ParameterSweep(cfg, {"omega": np.array([9.0, 10.0])})
+    sw_forced = ParameterSweep(SimConfig(**CFG, impl="pallas"),
+                               {"omega": np.array([9.0, 10.0])})
+
+    monkeypatch.setattr(swmod.jax, "default_backend", lambda: "tpu")
+    assert sw_edc._use_stack_engine()
+    assert not sw_om._use_stack_engine()
+    assert sw_forced._use_stack_engine()
+    monkeypatch.setattr(swmod, "PER_OMEGA_AUTO", True)
+    assert sw_om._use_stack_engine()
