@@ -30,8 +30,12 @@ BASELINE = 1e9  # updates/sec north star (BASELINE.json)
 # BENCH_r04.json rc=124/parsed=null).  Every bench mode therefore probes the
 # backend FIRST in a subprocess with a hard deadline; on failure we emit one
 # parseable JSON error line and exit instead of wedging.  Killing the probe
-# is safe: a process stuck in backend *init* never acquired the chip (the
-# never-timeout-kill rule protects in-flight computations, not failed init).
+# is safe when init itself hangs (no chip acquired).  In the half-up case —
+# init succeeds, then the one tiny probe op hangs — the kill does risk
+# wedging the tunnel for minutes (CLAUDE.md), and that tradeoff is
+# deliberate: a bounded kill of one 8-element op beats the observed
+# alternative, a ~45-min unbounded hang ending in the harness SIGKILLing a
+# full bench run mid-flight.
 PROBE_DEADLINE = float(os.environ.get("SLB2D_BENCH_PROBE_DEADLINE", "120"))
 
 _PROBE_CODE = """\
@@ -307,16 +311,26 @@ def main():
     # Fail fast with a parseable artifact if the backend is unreachable;
     # SLB2D_BENCH_NO_PROBE=1 skips the ~15 s probe (e.g. CPU-only tests).
     if os.environ.get("SLB2D_BENCH_NO_PROBE") != "1":
-        _, err = probe_backend()
+        platform, err = probe_backend()
         if err is not None:
             emit_error(f"backend probe failed: {err}")
-            return
+            sys.exit(1)
+        # a fast axon-init failure can fall back to the CPU backend: a
+        # well-formed CPU number recorded as the TPU round artifact would
+        # be worse than a parse failure.  Accept only TPU-class platforms
+        # unless the caller says otherwise.
+        allowed = os.environ.get("SLB2D_BENCH_PLATFORMS", "tpu,axon")
+        if platform not in allowed.split(","):
+            emit_error(f"backend probe landed on '{platform}', expected "
+                       f"one of [{allowed}] (set SLB2D_BENCH_PLATFORMS "
+                       f"to override)")
+            sys.exit(1)
     try:
         _dispatch(impl)
     except Exception as e:         # tunnel died mid-bench: artifact > trace
         if _is_backend_error(e):
             emit_error(f"backend lost mid-bench: {str(e)[:300]}")
-            return
+            sys.exit(1)
         raise
 
 

@@ -387,12 +387,15 @@ class ParameterSweep:
         SPACE sharding (a pure "sweep" mesh is fine — points shard at
         stacked-row boundaries), and one point inside the VMEM residency
         bound (beyond it even a G=1 group cannot compile; the vmapped
-        XLA engine streams HBM at any size).  omega sweeps run in the
-        kernel's per-omega mode (in-kernel per-point trig + rolled
-        loop-exit capture) — EXCEPT with capture_state, whose per-point
-        (a, b) freeze at varying exit steps only the vmapped engine
-        rolls.  impl=pallas|stream forces it (interpret mode off-TPU,
-        for tests); impl=auto takes it on TPU; impl=xla never."""
+        XLA engine streams HBM at any size).  omega sweeps CAN run in
+        the kernel's per-omega mode (in-kernel per-point trig + rolled
+        loop-exit capture), but impl=auto routes them to the vmapped
+        engine while PER_OMEGA_AUTO is False (no measured chip win yet)
+        and always with capture_state, whose per-point (a, b) freeze at
+        varying exit steps only the vmapped engine rolls.
+        impl=pallas|stream forces the stacked kernel (interpret mode
+        off-TPU, for tests); impl=auto takes it on TPU for non-omega
+        sweeps; impl=xla never."""
         if self.space_axis is not None:
             return False
         if self.base.np_dtype != np.float32:

@@ -490,12 +490,16 @@ class Simulation:
         if total < 300:
             return
         ts = chunk.xs["t"]
-        t_max = self.t_max
+        # C computes t/t_max*100 in ffloat (the printf varargs promotion
+        # to double happens AFTER the float arithmetic), so evaluate the
+        # percentage at the build dtype or %0.2f can round differently
+        D = self.model.np_dtype
+        tm = D(self.t_max)
         lines = []
         for k in range(299 - prev, chunk.n_steps, 300):
-            t = float(ts[k])
-            pct = t / t_max * 100 if t_max else 0.0
-            lines.append(f"\rt={t:0.9f} {pct:0.2f}%")
+            t = ts[k]
+            pct = float(D(D(t / tm) * D(100))) if tm else 0.0
+            lines.append(f"\rt={float(t):0.9f} {pct:0.2f}%")
         sys.stdout.write("".join(lines))
         sys.stdout.flush()
 

@@ -379,8 +379,10 @@ def test_progress_meter_cadence_matches_c(tmp_path, monkeypatch, capsys):
 
     n = schedule.count_steps(0.0, sim.t_max, cfg.dt)
     ts = schedule.accum_sequence(0.0, cfg.dt, n)
+    f32 = np.float32
+    tm = f32(sim.t_max)
     expected = [f"\rt={float(ts[k]):0.9f} "
-                f"{float(ts[k]) / sim.t_max * 100:0.2f}%"
+                f"{float(f32(f32(ts[k] / tm) * f32(100))):0.2f}%"
                 for k in range(299, n, 300)]
     assert n > 900            # the config crosses several meter periods
     assert meter == expected
